@@ -1,0 +1,244 @@
+"""Functional CNN machinery: spec-driven conv stacks with explicit param
+pytrees (no framework modules — plain jit/vmap/pjit-composable functions).
+
+Each network is described by a layer ``spec`` (tuple of Layer records) whose
+order mirrors the reference's ``nn.Sequential`` indices exactly, which makes
+torch ``state_dict`` conversion a mechanical walk (see
+:mod:`affnet_tpu.models.convert`).
+
+Conventions:
+  - activations NHWC, weights HWIO (TPU-native layouts)
+  - BatchNorm(affine=False) eval: (x - mean) / sqrt(var + 1e-5)
+    (torch defaults; reference uses affine=False everywhere)
+  - train-mode BN normalizes with biased batch stats and updates running
+    stats with momentum 0.1 and *unbiased* variance (torch semantics)
+  - per-patch input standardization uses the unbiased std + 1e-7
+    (reference ``input_norm``, e.g. architectures.py:235-239)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+# ---------------------------------------------------------------------------
+# Layer spec records
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Conv:
+    in_ch: int
+    out_ch: int
+    k: int                       # square kernel; (kh, kw) via k_hw
+    stride: int = 1
+    pad: int = 0
+    bias: bool = False
+    k_hw: Optional[Tuple[int, int]] = None
+
+    @property
+    def kernel_hw(self) -> Tuple[int, int]:
+        return self.k_hw if self.k_hw is not None else (self.k, self.k)
+
+
+@dataclasses.dataclass(frozen=True)
+class BN:
+    ch: int
+
+
+@dataclasses.dataclass(frozen=True)
+class ReLU:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Tanh:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Dropout:
+    p: float
+
+
+@dataclasses.dataclass(frozen=True)
+class AvgPoolGlobal:
+    """AdaptiveAvgPool2d(1)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxPool:
+    k: int
+    stride: int
+    pad: int = 0
+
+
+Layer = Any
+Spec = Tuple[Layer, ...]
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+
+def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad) -> Array:
+    """x NHWC, w HWIO; pad is an int (symmetric zeros) or 'VALID'."""
+    if isinstance(pad, int):
+        padding = [(pad, pad), (pad, pad)]
+    else:
+        padding = pad
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def batchnorm_eval(x: Array, mean: Array, var: Array) -> Array:
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    return (x - mean) * inv
+
+
+def batchnorm_train(x: Array, mean: Array, var: Array):
+    """Returns (normalized, new_running_mean, new_running_var)."""
+    axes = (0, 1, 2)
+    m = jnp.mean(x, axes)
+    v = jnp.mean((x - m) ** 2, axes)               # biased, used to normalize
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    v_unbiased = v * n / max(n - 1, 1)
+    y = (x - m) * jax.lax.rsqrt(v + BN_EPS)
+    new_mean = (1 - BN_MOMENTUM) * mean + BN_MOMENTUM * m
+    new_var = (1 - BN_MOMENTUM) * var + BN_MOMENTUM * v_unbiased
+    return y, new_mean, new_var
+
+
+def input_norm(x: Array, detach: bool = True) -> Array:
+    """Per-sample standardization over all pixels, unbiased std + 1e-7.
+    Reference: architectures.py:235-239 / HardNet.py:92-96."""
+    n = x.shape[0]
+    flat = x.reshape(n, -1)
+    mp = jnp.mean(flat, axis=1)
+    d = flat - mp[:, None]
+    denom = max(flat.shape[1] - 1, 1)
+    sp = jnp.sqrt(jnp.sum(d * d, axis=1) / denom) + 1e-7
+    if detach:
+        mp = jax.lax.stop_gradient(mp)
+        sp = jax.lax.stop_gradient(sp)
+    shape = (n,) + (1,) * (x.ndim - 1)
+    return (x - mp.reshape(shape)) / sp.reshape(shape)
+
+
+def l2norm(x: Array, eps: float = 1e-10) -> Array:
+    """Row-wise L2 normalization (Utils.py:68-75)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=1) + eps)
+    return x / norm[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Spec-driven init / apply
+# ---------------------------------------------------------------------------
+
+def _orthogonal(key, shape_oihw: Tuple[int, ...], gain: float) -> np.ndarray:
+    """torch-style orthogonal init on an OIHW conv weight."""
+    o = shape_oihw[0]
+    f = int(np.prod(shape_oihw[1:]))
+    a = jax.random.normal(key, (max(o, f), min(o, f)))
+    q, r = jnp.linalg.qr(a)
+    q = q * jnp.sign(jnp.diagonal(r))
+    if o < f:
+        q = q.T
+    return (gain * q[:o, :f]).reshape(shape_oihw)
+
+
+def init_params(key, spec: Spec, gain: float = 0.8,
+                last_gain: float = 1.0,
+                last_bias: Optional[Sequence[float]] = None,
+                bias_const: float = 0.01) -> Params:
+    """Initialize params for a spec.  Mirrors the reference weights_init:
+    orthogonal(gain) everywhere, the final 8x8 conv gets gain ``last_gain``
+    and its bias set to ``last_bias`` (architectures.py:240-247 etc.)."""
+    params: Params = {}
+    convs = [i for i, l in enumerate(spec) if isinstance(l, Conv)]
+    last_conv = convs[-1] if convs else -1
+    for i, layer in enumerate(spec):
+        if isinstance(layer, Conv):
+            key, sub = jax.random.split(key)
+            kh, kw = layer.kernel_hw
+            g = last_gain if (i == last_conv and last_bias is not None) else gain
+            w = _orthogonal(sub, (layer.out_ch, layer.in_ch, kh, kw), g)
+            w = jnp.transpose(jnp.asarray(w, jnp.float32), (2, 3, 1, 0))
+            p = {"w": w}
+            if layer.bias:
+                if i == last_conv and last_bias is not None:
+                    p["b"] = jnp.asarray(np.array(last_bias, np.float32))
+                else:
+                    p["b"] = jnp.full((layer.out_ch,), bias_const, jnp.float32)
+            params[f"layer{i}"] = p
+        elif isinstance(layer, BN):
+            params[f"layer{i}"] = {
+                "mean": jnp.zeros((layer.ch,), jnp.float32),
+                "var": jnp.ones((layer.ch,), jnp.float32),
+            }
+    return params
+
+
+def apply_spec(spec: Spec, params: Params, x: Array, *,
+               train: bool = False, rng=None):
+    """Run the layer stack on NHWC input.  Returns (features, new_params)
+    where new_params carries updated BN running stats when train=True
+    (otherwise it is ``params`` unchanged)."""
+    new_params = dict(params) if train else params
+    for i, layer in enumerate(spec):
+        name = f"layer{i}"
+        if isinstance(layer, Conv):
+            p = params[name]
+            x = conv2d(x, p["w"], p.get("b"), layer.stride,
+                       layer.pad if layer.pad > 0 else "VALID")
+        elif isinstance(layer, BN):
+            p = params[name]
+            if train:
+                x, nm, nv = batchnorm_train(x, p["mean"], p["var"])
+                new_params[name] = {"mean": nm, "var": nv}
+            else:
+                x = batchnorm_eval(x, p["mean"], p["var"])
+        elif isinstance(layer, ReLU):
+            x = jnp.maximum(x, 0.0)
+        elif isinstance(layer, Tanh):
+            x = jnp.tanh(x)
+        elif isinstance(layer, Dropout):
+            if train and rng is not None and layer.p > 0:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - layer.p, x.shape)
+                x = jnp.where(keep, x / (1.0 - layer.p), 0.0)
+        elif isinstance(layer, AvgPoolGlobal):
+            x = jnp.mean(x, axis=(1, 2), keepdims=True)
+        elif isinstance(layer, MaxPool):
+            pad = [(layer.pad, layer.pad), (layer.pad, layer.pad)]
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max,
+                (1, layer.k, layer.k, 1), (1, layer.stride, layer.stride, 1),
+                [(0, 0)] + pad + [(0, 0)])
+        else:
+            raise TypeError(f"Unknown layer {layer!r}")
+    return x, new_params
+
+
+def as_nhwc(patches: Array) -> Array:
+    """(N, PS, PS) or (N, 1, PS, PS) -> (N, PS, PS, 1)."""
+    if patches.ndim == 3:
+        return patches[..., None]
+    if patches.ndim == 4 and patches.shape[1] == 1:
+        return jnp.transpose(patches, (0, 2, 3, 1))
+    return patches

@@ -1,0 +1,130 @@
+"""3-D (scale-space) non-max suppression + soft-argmax keypoint composition.
+
+Reference: NMS2d/NMS3d (HandCraftedModules.py:194-220) and NMS3dAndComposeA
+(HandCraftedModules.py:222-291).  The reference emits a *variable-length*
+keypoint list per level via ``torch.nonzero``/``topk``; here every map stays
+dense and static-shaped, and selection happens once, globally, with a masked
+top-k — so the whole detector is a single XLA program.
+
+Semantics preserved exactly:
+  - a center-level pixel survives iff cur + 1e-5 > max over the 3x3x3 cube
+    spanning (low, cur, high)                                    (:208-220)
+  - responses in a border of width int(mrSize) are zeroed        (:246-250,
+    Utils.py:140-148) — note the reference zeroes by mrSize, NOT the ctor
+    ``border`` argument; we keep that behavior
+  - octave dedup map: a pixel claimed by a previous level in the same octave
+    suppresses later levels; the map update uses float->byte truncation in the
+    reference (:248,256), i.e. only responses >= 1.0 mark the map — replicated
+    via floor()
+  - sub-pixel/sub-scale refinement = weighted average of (sigma, y, x) over
+    the 3x3x3 response cube (zero-padded), then absolute pixel coords,
+    normalized by (min(h,w), h, w)                               (:266-290)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NMS_EPS = 1e-5
+
+
+def nms2d(x: Array, threshold: float = 0.0) -> Array:
+    """2-D max-pool-equality NMS on (H, W).  Reference: NMS2d (:194-206)."""
+    mp = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+                               [(1, 1), (1, 1)])
+    keep = (x - mp + NMS_EPS) > 0
+    if threshold > NMS_EPS:
+        keep = jnp.logical_and(keep, x > threshold)
+    return keep.astype(x.dtype) * x
+
+
+def nms3d_center(low: Array, cur: Array, high: Array,
+                 threshold: float = 0.0) -> Array:
+    """Center-level 3x3x3 NMS: cur survives iff it is (within 1e-5 of) the max
+    of the 27-neighborhood across the three scale slices.
+    Reference: NMS3d (:208-220) applied at [:, 1:2] (:248)."""
+    m = jnp.maximum(jnp.maximum(low, cur), high)
+    mp = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+                               [(1, 1), (1, 1)])
+    keep = (cur - mp + NMS_EPS) > 0
+    if threshold > NMS_EPS:
+        keep = jnp.logical_and(keep, cur > threshold)
+    return keep.astype(cur.dtype) * cur
+
+
+def border_mask(h: int, w: int, b: int, dtype=jnp.float32) -> Array:
+    """1 inside, 0 in a b-wide frame.  Reference: zero_response_at_border
+    (Utils.py:140-148); returns all-zeros when the border swallows the map."""
+    if b >= h or b >= w:
+        return jnp.zeros((h, w), dtype)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = ((row >= b) & (row < h - b) & (col >= b) & (col < w - b))
+    return inside.astype(dtype)
+
+
+def _softargmax_kernel(sigmas3: Sequence[float]) -> np.ndarray:
+    """OIHW kernel (4, 3, 3, 3): output channels = (sigma-weight, dy, dx, ones).
+    Matches generate_3dgrid(scales, 3, 3) reshaped at
+    HandCraftedModules.py:266-270 plus the all-ones denominator kernel."""
+    k = np.zeros((4, 3, 3, 3), np.float32)
+    for l in range(3):
+        k[0, l, :, :] = sigmas3[l]
+    for di in range(3):
+        k[1, :, di, :] = di - 1
+    for dj in range(3):
+        k[2, :, :, dj] = dj - 1
+    k[3] = 1.0
+    return k
+
+
+def softargmax_scale_y_x(low: Array, cur: Array, high: Array,
+                         sigmas3: Sequence[float]) -> Tuple[Array, Array, Array]:
+    """Per-pixel soft-argmax refinement maps over the 3x3x3 response cube.
+
+    Returns (scale, y, x) maps of shape (H, W) in *normalized* coordinates:
+    scale / min(h, w), y / h, x / w — exactly NMS3dAndComposeA:279-290."""
+    h, w = cur.shape
+    resp3d = jnp.stack([low, cur, high])[None]            # (1, 3, h, w)
+    kern = jnp.asarray(_softargmax_kernel(sigmas3), cur.dtype)
+    out = jax.lax.conv_general_dilated(
+        resp3d, kern, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]    # (4, h, w)
+    den = out[3] + 1e-8
+    sc = out[0] / den
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(cur.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(cur.dtype)
+    y = out[1] / den + row
+    x = out[2] / den + col
+    min_size = float(min(h, w))
+    return sc / min_size, y / float(h), x / float(w)
+
+
+def update_octave_map(octave_map: Array, nmsed: Array) -> Tuple[Array, Array]:
+    """Apply the octave dedup map to a fresh NMS response and produce the
+    updated map.  Returns (masked_response, new_map).
+
+    The reference stores the map as bytes and updates it with
+    ``(map.float() + resp).byte()`` (:248,256) — float->uint8 truncation, so
+    only responses >= 1.0 actually claim a pixel.  Replicated via floor()."""
+    masked = nmsed * (1.0 - octave_map)
+    new_map = (jnp.floor(octave_map + masked) > 0).astype(nmsed.dtype)
+    return masked, new_map
+
+
+def masked_topk(values: Array, k: int) -> Tuple[Array, Array, Array]:
+    """Global top-k with validity mask: returns (vals, idxs, valid) where
+    ``valid[i] = vals[i] > 0``.  Zero-response entries act as padding.
+
+    Equivalent to the reference's per-level topk + global topk cascade
+    (HandCraftedModules.py:259-263 + SparseImgRepresenter.py:104-108): any
+    element of the global top-k is necessarily in its own level's top-k, so a
+    single global top-k selects the identical set."""
+    vals, idxs = jax.lax.top_k(values, k)
+    return vals, idxs, vals > 0

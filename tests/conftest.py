@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The container pins JAX_PLATFORMS=axon (TPU tunnel); requesting cpu-only hangs
+its sitecustomize, so instead of overriding the platform we keep the plugin
+registered and route all test computation to the CPU backend via
+jax.default_device.  Sharding tests build their Mesh from jax.devices('cpu')
+explicitly (8 virtual devices via xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+def cpu_devices():
+    return jax.devices("cpu")
+
+
+@pytest.fixture(autouse=True)
+def _route_to_cpu():
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
+
+
+@pytest.fixture
+def fixtures_dir():
+    return os.path.join(os.path.dirname(__file__), "fixtures")
