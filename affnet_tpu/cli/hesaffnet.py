@@ -1,0 +1,63 @@
+"""HesAffNet: image -> affine regions (Oxford .ells file) with AffNetFast.
+
+Reference CLI: examples/hesaffnet/hesaffnet.py:27-60.  Same defaults:
+mrSize 5.192, border 5, 1 AffNet shape iteration, th=-1 (threshold mode —
+every NMS survivor is emitted; the nfeats argument selects top-k mode
+instead when --topk is passed).
+
+Usage: python -m affnet_tpu.cli.hesaffnet img.png out.txt [nfeats] [--topk]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def load_gray(fname: str) -> np.ndarray:
+    """RGB mean-channel grayscale, like the reference (:35-36)."""
+    from PIL import Image
+    img = Image.open(fname).convert("RGB")
+    return np.mean(np.asarray(img), axis=2).astype(np.float32)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("input_image")
+    parser.add_argument("output_fname")
+    parser.add_argument("nfeats", type=int, nargs="?", default=2000)
+    parser.add_argument("--topk", action="store_true",
+                        help="top-k mode (th=None) instead of the reference "
+                             "CLI's th=-1 keep-all mode")
+    parser.add_argument("--th", type=float, default=-1.0)
+    parser.add_argument("--max-keypoints", type=int, default=16384,
+                        help="static cap on survivors in threshold mode")
+    parser.add_argument("--do-ori", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..detector import DetectorConfig, ScaleSpaceAffinePatchExtractor
+    from ..laf import lafs_to_ells
+    from ..models import AffNetFast, OriNetFast32
+    from ..models.convert import load_pretrained
+    from ..io_formats import write_ells
+
+    img = load_gray(args.input_image)
+    cfg = DetectorConfig(
+        num_features=args.nfeats, border=5, mr_size=5.192, num_baum_iters=1,
+        th=None if args.topk else args.th, max_keypoints=args.max_keypoints)
+    params = {"aff": load_pretrained("AffNetFast")}
+    ori_net = None
+    if args.do_ori:
+        ori_net = OriNetFast32
+        params["ori"] = load_pretrained("OriNetFast")
+    det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
+                                         ori_net=ori_net)
+    out = det(img, params=params, do_ori=args.do_ori)
+    ells = np.asarray(lafs_to_ells(out["lafs"]))
+    write_ells(args.output_fname, ells)
+    print(f"{len(ells)} affine regions -> {args.output_fname}")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,14 +23,16 @@ Array = jax.Array
 
 
 def circular_gauss_kernel(kernlen: int = None, circ_zeros: bool = False,
-                          sigma: float = None, norm: bool = True) -> np.ndarray:
-    """2-D Gaussian window, py2-int halfSize semantics (Utils.py:92-114)."""
+                          sigma: float = None, norm: bool = True,
+                          py2: bool = False) -> np.ndarray:
+    """2-D Gaussian window (Utils.py:92-114).  ``py2`` selects the original
+    python-2 integer halfSize; default matches a python-3 run (float)."""
     assert kernlen is not None or sigma is not None
     if kernlen is None:
         kernlen = int(2.0 * 3.0 * sigma + 1.0)
         if kernlen % 2 == 0:
             kernlen += 1
-    half = kernlen // 2
+    half = kernlen // 2 if py2 else kernlen / 2.0
     r2 = float(half * half)
     if sigma is None:
         sigma2 = 0.9 * r2

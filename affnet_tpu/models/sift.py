@@ -38,10 +38,10 @@ def get_bin_weight_kernel_size_and_stride(patch_size: int,
     return bin_weight_kernel_size, bin_weight_stride
 
 
-def _sift_gauss_kernel(kernlen: int) -> np.ndarray:
+def _sift_gauss_kernel(kernlen: int, py2: bool = False) -> np.ndarray:
     """SIFTNet's own circular-masked, UNnormalized Gaussian window
-    (pytorch_sift.py:31-44), py2 integer halfSize."""
-    half = kernlen // 2
+    (pytorch_sift.py:31-44)."""
+    half = kernlen // 2 if py2 else kernlen / 2.0
     r2 = float(half * half)
     sigma2 = 0.9 * r2
     k = np.zeros((kernlen, kernlen), np.float32)

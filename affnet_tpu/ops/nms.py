@@ -72,14 +72,21 @@ def border_mask(h: int, w: int, b: int, dtype=jnp.float32) -> Array:
 def _softargmax_kernel(sigmas3: Sequence[float]) -> np.ndarray:
     """OIHW kernel (4, 3, 3, 3): output channels = (sigma-weight, dy, dx, ones).
     Matches generate_3dgrid(scales, 3, 3) reshaped at
-    HandCraftedModules.py:266-270 plus the all-ones denominator kernel."""
+    HandCraftedModules.py:266-270 plus the all-ones denominator kernel.
+
+    NOTE the spatial offsets are [-0.5, 0.5, 1.5], NOT [-1, 0, 1]:
+    generate_2dgrid(3, 3, centered=True) is linspace(-w/2+1, w/2, w)
+    (Utils.py:116-124), which for w=3 is off-center by +0.5.  The reference's
+    sub-pixel refinement therefore carries a systematic +0.5-pixel bias;
+    preserved here for exact parity (all downstream constants were tuned
+    against it)."""
     k = np.zeros((4, 3, 3, 3), np.float32)
     for l in range(3):
         k[0, l, :, :] = sigmas3[l]
     for di in range(3):
-        k[1, :, di, :] = di - 1
+        k[1, :, di, :] = di - 0.5
     for dj in range(3):
-        k[2, :, :, dj] = dj - 1
+        k[2, :, :, dj] = dj - 0.5
     k[3] = 1.0
     return k
 
@@ -110,10 +117,18 @@ def update_octave_map(octave_map: Array, nmsed: Array) -> Tuple[Array, Array]:
     """Apply the octave dedup map to a fresh NMS response and produce the
     updated map.  Returns (masked_response, new_map).
 
-    The reference stores the map as bytes and updates it with
-    ``(map.float() + resp).byte()`` (:248,256) — float->uint8 truncation, so
-    only responses >= 1.0 actually claim a pixel.  Replicated via floor()."""
+    Two reference quirks preserved exactly:
+      - a level whose (post-mask) survivor count is <= 1 is dropped entirely
+        and does NOT update the map (NMS3dAndComposeA returns None and the
+        caller ``continue``s; HandCraftedModules.py:252-254,
+        SparseImgRepresenter.py:89-90)
+      - the map is stored as bytes and updated with
+        ``(map.float() + resp).byte()`` (:248,256) — float->uint8 truncation,
+        so only responses >= 1.0 actually claim a pixel.  Replicated via
+        floor()."""
     masked = nmsed * (1.0 - octave_map)
+    keep = ((masked > 0).sum() > 1).astype(nmsed.dtype)
+    masked = masked * keep
     new_map = (jnp.floor(octave_map + masked) > 0).astype(nmsed.dtype)
     return masked, new_map
 

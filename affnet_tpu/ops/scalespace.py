@@ -35,23 +35,28 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def gauss_kernel_1d(sigma: float) -> np.ndarray:
-    """1-D Gaussian taps matching CircularGaussKernel (Utils.py:92-114) with
-    py2 semantics: kernlen = int(2*3*sigma + 1) made odd, integer halfSize,
-    normalized so the separable outer product equals the reference 2-D kernel."""
+def gauss_kernel_1d(sigma: float, py2: bool = False) -> np.ndarray:
+    """1-D Gaussian taps matching CircularGaussKernel (Utils.py:92-114):
+    kernlen = int(2*3*sigma + 1) made odd, taps at linspace(-half, half),
+    normalized so the separable outer product equals the reference 2-D kernel.
+
+    ``py2`` selects the original python-2 integer halfSize (= kernlen // 2,
+    integer tap offsets); the default matches the reference executed under
+    python 3 / modern torch, where ``kernlen / 2`` is a float and linspace
+    produces non-integer tap positions."""
     kernlen = int(2.0 * 3.0 * sigma + 1.0)
     if kernlen % 2 == 0:
         kernlen += 1
-    half = kernlen // 2
+    half = kernlen // 2 if py2 else kernlen / 2.0
     x = np.linspace(-half, half, kernlen)
     k = np.exp(-(x * x) / (2.0 * sigma * sigma))
     return (k / k.sum()).astype(np.float32)
 
 
-def gaussian_blur(img: Array, sigma: float) -> Array:
+def gaussian_blur(img: Array, sigma: float, py2: bool = False) -> Array:
     """Separable Gaussian blur with replicate padding on an (H, W) image.
     Matches GaussianBlur (Utils.py:150-166) bit-for-bit up to fp reassociation."""
-    k = jnp.asarray(gauss_kernel_1d(sigma), img.dtype)
+    k = jnp.asarray(gauss_kernel_1d(sigma, py2=py2), img.dtype)
     pad = k.shape[0] // 2
     # Horizontal pass.
     xp = jnp.pad(img, ((0, 0), (pad, pad)), mode="edge")
@@ -160,7 +165,8 @@ def make_plan(height: int, width: int, n_levels: int = 3,
                        sigmas=tuple(sigmas), pix_dists=tuple(pix_dists))
 
 
-def build_pyramid(img: Array, plan: PyramidPlan) -> List[List[Array]]:
+def build_pyramid(img: Array, plan: PyramidPlan,
+                  py2: bool = False) -> List[List[Array]]:
     """Build all pyramid levels.  ``img`` is (H, W) float.  Returns
     pyr[octave][level] with static shapes from ``plan`` — a Python list of
     jnp arrays inside the trace (unrolled; no ragged runtime structures)."""
@@ -168,7 +174,7 @@ def build_pyramid(img: Array, plan: PyramidPlan) -> List[List[Array]]:
     cur_sigma = 0.5
     if plan.init_sigma > cur_sigma:
         sigma = math.sqrt(plan.init_sigma ** 2 - cur_sigma ** 2)
-        curr = gaussian_blur(img, sigma)
+        curr = gaussian_blur(img, sigma, py2=py2)
     else:
         curr = img
 
@@ -179,7 +185,7 @@ def build_pyramid(img: Array, plan: PyramidPlan) -> List[List[Array]]:
         next_first = None
         for i in range(1, plan.levels_per_octave):
             sigma = cs * math.sqrt(step * step - 1.0)
-            levels.append(gaussian_blur(levels[-1], sigma))
+            levels.append(gaussian_blur(levels[-1], sigma, py2=py2))
             cs *= step
             if i == plan.n_levels:
                 next_first = downsample2(levels[-1])
@@ -188,9 +194,9 @@ def build_pyramid(img: Array, plan: PyramidPlan) -> List[List[Array]]:
     return pyr
 
 
-def build_flat_pyramid(img: Array, plan: PyramidPlan):
+def build_flat_pyramid(img: Array, plan: PyramidPlan, py2: bool = False):
     """Build the pyramid and also pack every level into one flat 1-D buffer
     (for vectorized patch gathers).  Returns (pyr, flat_buffer)."""
-    pyr = build_pyramid(img, plan)
+    pyr = build_pyramid(img, plan, py2=py2)
     flat = jnp.concatenate([lvl.reshape(-1) for oct_ in pyr for lvl in oct_])
     return pyr, flat

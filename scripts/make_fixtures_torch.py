@@ -52,17 +52,19 @@ def grid_sample_oracle(rng):
     tlafs = torch.from_numpy(lafs)
     outs = {}
     for ps in (19, 32):
-        min_size = min(h, w)
-        coef = torch.ones(1, 2, 3) * min_size
-        coef[0, 0, 2] = w
-        coef[0, 1, 2] = h
-        grid = F.affine_grid(tlafs * coef.expand(n, 2, 3),
-                             torch.Size((n, 1, ps, ps)), align_corners=True)
-        grid[:, :, :, 0] = 2.0 * grid[:, :, :, 0] / float(w) - 1.0
-        grid[:, :, :, 1] = 2.0 * grid[:, :, :, 1] / float(h) - 1.0
-        out = F.grid_sample(timg.expand(n, 1, h, w), grid,
-                            align_corners=True, padding_mode="zeros")
-        outs[f"patches{ps}"] = out[:, 0].numpy()
+        for ac in (True, False):
+            min_size = min(h, w)
+            coef = torch.ones(1, 2, 3) * min_size
+            coef[0, 0, 2] = w
+            coef[0, 1, 2] = h
+            grid = F.affine_grid(tlafs * coef.expand(n, 2, 3),
+                                 torch.Size((n, 1, ps, ps)), align_corners=ac)
+            grid[:, :, :, 0] = 2.0 * grid[:, :, :, 0] / float(w) - 1.0
+            grid[:, :, :, 1] = 2.0 * grid[:, :, :, 1] / float(h) - 1.0
+            out = F.grid_sample(timg.expand(n, 1, h, w), grid,
+                                align_corners=ac, padding_mode="zeros")
+            suffix = "" if ac else "_ac0"
+            outs[f"patches{ps}{suffix}"] = out[:, 0].numpy()
     np.savez(os.path.join(FIX, "grid_sample.npz"),
              img=img, lafs=lafs, **outs)
     print("grid_sample:", {k: v.shape for k, v in outs.items()})
@@ -73,11 +75,12 @@ def gaussian_blur_oracle(rng):
     replicate padding (Utils.py:92-114,150-166; py2 integer halfSize)."""
     img = rng.rand(40, 56).astype(np.float32)
     out = {}
-    for sigma in (1.52, 1.227, 2.46):
+    for sigma, py2 in [(1.52, True), (1.227, True), (2.46, True),
+                       (1.52, False), (1.227, False), (2.46, False)]:
         kernlen = int(2.0 * 3.0 * sigma + 1.0)
         if kernlen % 2 == 0:
             kernlen += 1
-        half = kernlen // 2
+        half = kernlen // 2 if py2 else kernlen / 2.0
         x = np.linspace(-half, half, kernlen)
         xv, yv = np.meshgrid(x, x, indexing="xy")
         k = np.exp(-((xv ** 2 + yv ** 2) / (2.0 * sigma * sigma)))
@@ -86,7 +89,7 @@ def gaussian_blur_oracle(rng):
         t = torch.from_numpy(img)[None, None]
         t = F.pad(t, (pad, pad, pad, pad), "replicate")
         o = F.conv2d(t, torch.from_numpy(k)[None, None]).numpy()[0, 0]
-        out[f"blur_{sigma}"] = o
+        out[f"blur_{sigma}" + ("_py2" if py2 else "")] = o
     np.savez(os.path.join(FIX, "gaussian_blur.npz"), img=img, **out)
     print("gaussian_blur:", list(out.keys()))
 

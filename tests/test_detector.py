@@ -1,0 +1,102 @@
+"""End-to-end detector parity vs the runnable reference pipeline.
+
+Golden data: tests/fixtures/detector_golden.npz, produced by
+scripts/make_detector_fixture.py — the ACTUAL reference code
+(/root/reference, py3 + modern torch) with the shipped weights on a
+120x160 crop of test-graf/img1.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from affnet_tpu.detector import DetectorConfig, ScaleSpaceAffinePatchExtractor
+from affnet_tpu.models import AffNetFast, AffineShapeEstimator, OriNetFast32, SIFTNet
+from affnet_tpu.models.convert import load_pretrained
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(os.path.join(FIX, "detector_golden.npz"))
+
+
+@pytest.fixture(scope="module")
+def aff_params():
+    return load_pretrained("AffNetFast")
+
+
+@pytest.fixture(scope="module")
+def ori_params():
+    return load_pretrained("OriNetFast")
+
+
+class TestDetectorParity:
+    def test_detection_topk(self, golden):
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             num_baum_iters=0, th=None)
+        out = ScaleSpaceAffinePatchExtractor(cfg)(golden["img"])
+        assert len(out["resp"]) == len(golden["det_resp"]) == 50
+        np.testing.assert_allclose(out["resp"], golden["det_resp"],
+                                   atol=0.1, rtol=1e-4)
+        np.testing.assert_allclose(out["lafs"], golden["det_lafs"], atol=1e-2)
+
+    def test_affnet_shape_stage(self, golden, aff_params):
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             num_baum_iters=1, th=None)
+        det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast)
+        out = det(golden["img"], params={"aff": aff_params})
+        assert len(out["resp"]) == len(golden["aff_resp"])
+        np.testing.assert_allclose(out["lafs"], golden["aff_lafs"], atol=1e-2)
+
+    def test_orientation_stage(self, golden, aff_params, ori_params):
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             num_baum_iters=1, th=None)
+        det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
+                                             ori_net=OriNetFast32)
+        out = det(golden["img"], params={"aff": aff_params,
+                                         "ori": ori_params}, do_ori=True)
+        assert len(out["resp"]) == len(golden["ori_resp"])
+        np.testing.assert_allclose(out["lafs"], golden["ori_lafs"], atol=2e-2)
+
+    def test_threshold_mode(self, golden, aff_params):
+        """th=-1 is the hesaffnet.py CLI configuration: every NMS survivor
+        is kept (num_features is ignored), output in scan order."""
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             num_baum_iters=1, th=-1, max_keypoints=512)
+        det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast)
+        out = det(golden["img"], params={"aff": aff_params})
+        assert len(out["resp"]) == len(golden["th_resp"])
+        np.testing.assert_allclose(out["resp"], golden["th_resp"],
+                                   atol=0.1, rtol=1e-4)
+        np.testing.assert_allclose(out["lafs"], golden["th_lafs"], atol=1e-2)
+
+    def test_handcrafted_baumberg(self, golden):
+        """hesaffBaum config: 16 Baumberg iterations, handcrafted estimator."""
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             num_baum_iters=16, th=None)
+        det = ScaleSpaceAffinePatchExtractor(
+            cfg, shape_net=AffineShapeEstimator(19))
+        out = det(golden["img"])
+        assert len(out["resp"]) == len(golden["baum_resp"])
+        np.testing.assert_allclose(out["lafs"], golden["baum_lafs"], atol=1e-2)
+
+    def test_descriptor_patches(self, golden, aff_params):
+        """extract_patches_from_pyr equivalence: PS=32 patches for the final
+        LAFs, with scale-aware pyramid level selection."""
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             num_baum_iters=1, th=None, patch_size=32)
+        det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
+                                             desc_net=SIFTNet(patch_size=32))
+        out = det(golden["img"], params={"aff": aff_params}, describe=True)
+        assert out["patches"].shape == golden["desc_patches"].shape
+        # Image intensities are 0..255; 0.04 absolute == ~1.5e-4 relative.
+        np.testing.assert_allclose(out["patches"], golden["desc_patches"],
+                                   atol=0.05)
+        assert out["descs"].shape == (len(out["resp"]), 128)
+        np.testing.assert_allclose(np.linalg.norm(out["descs"], axis=1), 1.0,
+                                   atol=1e-3)

@@ -21,6 +21,9 @@ class TestGaussianBlur:
         for sigma in (1.52, 1.227, 2.46):
             out = np.asarray(scalespace.gaussian_blur(img, sigma))
             np.testing.assert_allclose(out, data[f"blur_{sigma}"], atol=1e-5)
+            out2 = np.asarray(scalespace.gaussian_blur(img, sigma, py2=True))
+            np.testing.assert_allclose(out2, data[f"blur_{sigma}_py2"],
+                                       atol=1e-5)
 
 
 class TestPyramidPlan:
@@ -128,8 +131,10 @@ class TestNMS:
         assert np.asarray(masked2)[0, 0] == 5.0
 
     def test_softargmax_exact_peak(self):
-        # Single center-slice peak with symmetric neighborhood: refined
-        # coords == peak coords, refined scale == center sigma.
+        # Single center-slice peak with symmetric neighborhood.  NOTE the
+        # reference's offset grid is [-0.5, 0.5, 1.5] (generate_2dgrid
+        # centered=True, Utils.py:118), so even an isolated peak carries a
+        # systematic +0.5-pixel refinement bias — preserved for parity.
         h, w = 11, 13
         sig = (1.6, 2.0, 2.5)
         low = np.zeros((h, w), np.float32)
@@ -139,8 +144,8 @@ class TestNMS:
         sc, y, x = nms.softargmax_scale_y_x(jnp.asarray(low), jnp.asarray(cur),
                                             jnp.asarray(high), sig)
         np.testing.assert_allclose(float(sc[5, 7]) * min(h, w), 2.0, atol=1e-5)
-        np.testing.assert_allclose(float(y[5, 7]) * h, 5.0, atol=1e-5)
-        np.testing.assert_allclose(float(x[5, 7]) * w, 7.0, atol=1e-5)
+        np.testing.assert_allclose(float(y[5, 7]) * h, 5.5, atol=1e-5)
+        np.testing.assert_allclose(float(x[5, 7]) * w, 7.5, atol=1e-5)
 
     def test_softargmax_subpixel_shift(self):
         h, w = 11, 13
@@ -152,11 +157,11 @@ class TestNMS:
         cur[5, 8] = 1.0     # pulls x to the right
         sc, y, x = nms.softargmax_scale_y_x(jnp.asarray(low), jnp.asarray(cur),
                                             jnp.asarray(high), sig)
-        # weighted mean over the cube at (5,7): (0*2 + 1*1)/3... the
-        # denominator includes both responses: (2*0 + 1*1)/(3) + 7
-        np.testing.assert_allclose(float(x[5, 7]) * w, 7 + 1.0 / 3.0,
-                                   atol=1e-5)
-        np.testing.assert_allclose(float(y[5, 7]) * h, 5.0, atol=1e-5)
+        # Weighted mean with the biased grid: own pixel offset +0.5 (weight 2),
+        # right neighbor +1.5 (weight 1), denominator 3.
+        np.testing.assert_allclose(float(x[5, 7]) * w,
+                                   7 + (2 * 0.5 + 1 * 1.5) / 3.0, atol=1e-5)
+        np.testing.assert_allclose(float(y[5, 7]) * h, 5.5, atol=1e-5)
 
     def test_masked_topk(self):
         v = jnp.asarray(np.array([0.0, 3.0, 0.0, 1.0, 2.0], np.float32))
@@ -172,8 +177,13 @@ class TestPatchSampler:
         img = jnp.asarray(data["img"])
         lafs = jnp.asarray(data["lafs"])
         for ps in (19, 32):
-            ours = np.asarray(patches.extract_patches(img, lafs, ps=ps))
+            ours = np.asarray(patches.extract_patches(
+                img, lafs, ps=ps, align_corners=True))
             np.testing.assert_allclose(ours, data[f"patches{ps}"], atol=1e-5)
+            ours0 = np.asarray(patches.extract_patches(
+                img, lafs, ps=ps, align_corners=False))
+            np.testing.assert_allclose(ours0, data[f"patches{ps}_ac0"],
+                                       atol=1e-5)
 
     def test_flat_pyramid_matches_direct(self):
         plan = scalespace.make_plan(48, 64, border=5)
