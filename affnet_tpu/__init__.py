@@ -9,4 +9,13 @@ over static shapes.
 
 __version__ = "0.1.0"
 
-from . import laf  # noqa: F401
+import jax as _jax
+
+# Numerical policy: float32 arrays mean float32 math.  TPUs default to
+# bfloat16 matmul inputs for f32 operands ("DEFAULT" precision), which
+# truncates keypoint coordinates and descriptor distances far beyond the
+# reference-parity budget.  Speed comes from *explicit* bfloat16 dtypes on
+# the CNN paths (see models/), never from silent input truncation.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
+from . import laf  # noqa: F401, E402
