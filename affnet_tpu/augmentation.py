@@ -51,8 +51,8 @@ def get_random_shifts(key, n: int, w_mag: int, h_mag: int = 3
 
 def get_random_norm_affine_lafs(key, n: int, max_tilt: float = 1.0) -> Array:
     """Random det-1 tilt (U[1/t, t]) + rotation via
-    get_normalized_affine_shape (augmentation.py:41-57)."""
-    assert max_tilt > 0
+    get_normalized_affine_shape (augmentation.py:41-57).  ``max_tilt`` may be
+    a traced scalar (the tilt curriculum feeds it per-epoch)."""
     k1, k2 = jax.random.split(key)
     tilt = 1.0 / max_tilt + (max_tilt - 1.0 / max_tilt) * \
         jax.random.uniform(k1, (n,))

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: full HesAffNet+HardNet pipeline throughput on one TPU chip.
+
+Headline metric (BASELINE.md): keypoints/sec at 2000 regions per 1080p image
+through detect (top-k 2000) -> 1x AffNet shape iteration -> descriptor-patch
+extraction (PS=32) -> HardNet, end-to-end on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the speedup over the CPU-PyTorch reference pipeline measured
+on this machine (scripts in git history): median 16.89 s per image for the
+identical configuration (AffNet.pth weights, HardNet, test-graf img1 resized
+to 1920x1080, torch 2.13 CPU) => 118.4 keypoints/sec.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_CPU_SECONDS_PER_IMAGE = 16.89
+NFEATS = 2000
+H, W = 1080, 1920
+WARMUP = 2
+RUNS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from affnet_tpu.detector import (DetectorConfig,
+                                     ScaleSpaceAffinePatchExtractor)
+    from affnet_tpu.models import AffNetFast, HardNet
+    from affnet_tpu.models.convert import load_pretrained
+
+    img = Image.open("/root/reference/test-graf/img1.png").convert("RGB")
+    img = img.resize((W, H), Image.BILINEAR)
+    img = np.mean(np.asarray(img), axis=2).astype(np.float32)
+
+    cfg = DetectorConfig(num_features=NFEATS, border=5, mr_size=5.192,
+                         num_baum_iters=1, th=None, patch_size=32)
+    det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
+                                         desc_net=HardNet)
+    params = {"aff": load_pretrained("AffNetFast"),
+              "desc": HardNet.init(jax.random.PRNGKey(0))}
+    fn, _plan = det.get_jitted(H, W, do_ori=False, describe=True)
+    x = jnp.asarray(img)
+
+    # NB: through the axon tunnel block_until_ready can return before remote
+    # execution finishes; a device->host fetch is the only honest fence, so
+    # each timed run reads the descriptors back (that readback is part of a
+    # real pipeline anyway).
+    for _ in range(WARMUP):
+        out = fn(params, x)
+        np.asarray(out["descs"])
+
+    times = []
+    for i in range(RUNS):
+        t0 = time.perf_counter()
+        out = fn(params, x)
+        np.asarray(out["descs"])
+        np.asarray(out["lafs"])
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    kps_per_sec = NFEATS / t
+    baseline_kps = NFEATS / REF_CPU_SECONDS_PER_IMAGE
+    result = {
+        "metric": "hesaffnet_hardnet_keypoints_per_sec_1080p",
+        "value": round(kps_per_sec, 1),
+        "unit": "keypoints/sec",
+        "vs_baseline": round(kps_per_sec / baseline_kps, 2),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

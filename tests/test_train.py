@@ -1,0 +1,203 @@
+"""Training-harness tests: SGD semantics, train step, sharded step, data."""
+
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from affnet_tpu import data as data_mod
+from affnet_tpu.models import AffNetFast, OriNetFast32
+from affnet_tpu.parallel import make_mesh, shard_apply, shard_train_step
+from affnet_tpu.train import (TrainConfig, TrainState, init_momentum,
+                              load_checkpoint, lr_at_step,
+                              make_affnet_train_step, make_descriptor,
+                              make_orinet_train_step, save_checkpoint,
+                              tilt_for_epoch)
+
+
+def make_batch(n=16, seed=0):
+    rng = np.random.RandomState(seed)
+    a = rng.rand(n, 64, 64).astype(np.float32)
+    p = np.clip(a + rng.randn(n, 64, 64).astype(np.float32) * 0.02, 0, 1)
+    return jnp.asarray(a), jnp.asarray(p)
+
+
+class TestSchedules:
+    def test_tilt_curriculum(self):
+        # Reference schedule with backward fill (train_AffNet...py:46,200-205).
+        assert tilt_for_epoch(0) == 3.0
+        assert tilt_for_epoch(2) == 4.0
+        assert tilt_for_epoch(4) == 4.5
+        assert tilt_for_epoch(9) == 5.8
+        assert tilt_for_epoch(100) == 5.8
+
+    def test_linear_lr_decay(self):
+        cfg = TrainConfig(lr=0.005, batch_size=100, n_pairs=1000, epochs=1)
+        assert float(lr_at_step(jnp.asarray(0), cfg)) == pytest.approx(0.005)
+        assert float(lr_at_step(jnp.asarray(5), cfg)) == pytest.approx(0.0025)
+        assert float(lr_at_step(jnp.asarray(10), cfg)) == pytest.approx(0.0)
+
+
+class TestSGD:
+    def test_matches_torch_sgd_formula(self):
+        """One tiny quadratic: p=1.0, grad=2p; torch SGD(momentum .9,
+        dampening .9, wd .1) two steps computed by hand."""
+        from affnet_tpu.train import sgd_update
+        cfg = TrainConfig(lr=0.1, wd=0.1, momentum=0.9, dampening=0.9)
+        params = {"layer0": {"w": jnp.asarray([1.0])}}
+        buf = init_momentum(params)
+        g = {"layer0": {"w": jnp.asarray([2.0])}}
+        p1, buf1 = sgd_update(params, g, buf, 0.1, cfg)
+        # g' = 2 + 0.1*1 = 2.1; buf = 0.1*2.1 = 0.21; p = 1 - 0.1*0.21
+        np.testing.assert_allclose(float(p1["layer0"]["w"][0]), 1 - 0.021,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(buf1["layer0"]["w"][0]), 0.21,
+                                   rtol=1e-6)
+        p2, buf2 = sgd_update(p1, g, buf1, 0.1, cfg)
+        # g' = 2 + 0.1*0.979 = 2.0979; buf = 0.9*0.21 + 0.1*2.0979
+        expected_buf = 0.9 * 0.21 + 0.1 * 2.0979
+        np.testing.assert_allclose(float(buf2["layer0"]["w"][0]),
+                                   expected_buf, rtol=1e-5)
+
+    def test_bn_stats_not_touched_by_sgd(self):
+        from affnet_tpu.train import sgd_update
+        cfg = TrainConfig()
+        params = {"layer1": {"mean": jnp.asarray([5.0]),
+                             "var": jnp.asarray([2.0])},
+                  "layer0": {"w": jnp.asarray([1.0])}}
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        p1, _ = sgd_update(params, g, init_momentum(params), 0.1, cfg)
+        assert float(p1["layer1"]["mean"][0]) == 5.0
+        assert float(p1["layer1"]["var"][0]) == 2.0
+        assert float(p1["layer0"]["w"][0]) != 1.0
+
+
+class TestTrainStep:
+    def test_affnet_step_reduces_loss(self):
+        # PosDist is a plain descent objective (hard-negative losses are not
+        # monotonic on noise batches); same batch + same augmentation key =>
+        # repeated steps must reduce it.
+        cfg = TrainConfig(batch_size=16, n_pairs=100000, epochs=1,
+                          descriptor="pixels", loss="PosDist")
+        step = jax.jit(make_affnet_train_step(
+            AffNetFast, make_descriptor("pixels"), cfg))
+        params = AffNetFast.init(jax.random.PRNGKey(0))
+        state = TrainState(params, init_momentum(params),
+                           jnp.asarray(0, jnp.int32))
+        batch = make_batch()
+        losses = []
+        for i in range(6):
+            state, m = step(state, batch, jax.random.PRNGKey(42), 3.0)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]    # same batch+key: loss must drop
+        # BN stats moved.
+        assert not np.allclose(np.asarray(state.params["layer1"]["mean"]),
+                               np.asarray(params["layer1"]["mean"]))
+
+    def test_orinet_step_runs(self):
+        cfg = TrainConfig(batch_size=8, n_pairs=10000, epochs=1,
+                          descriptor="pixels", loss="Geom")
+        step = jax.jit(make_orinet_train_step(
+            OriNetFast32, make_descriptor("pixels"), cfg))
+        params = OriNetFast32.init(jax.random.PRNGKey(1))
+        state = TrainState(params, init_momentum(params),
+                           jnp.asarray(0, jnp.int32))
+        batch = make_batch(8, 1)
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        params = AffNetFast.init(jax.random.PRNGKey(2))
+        path = os.path.join(tmp_path, "ckpt.npz")
+        save_checkpoint(path, params, epoch=7)
+        loaded, epoch = load_checkpoint(path)
+        assert epoch == 7
+        for k in params:
+            for kk in params[k]:
+                np.testing.assert_allclose(np.asarray(loaded[k][kk]),
+                                           np.asarray(params[k][kk]))
+
+
+class TestParallel:
+    def test_sharded_step_matches_single_device(self):
+        """GSPMD must not change semantics: the sharded hardest-in-batch
+        loss equals the single-device one."""
+        cfg = TrainConfig(batch_size=16, n_pairs=10000, epochs=1,
+                          descriptor="pixels", loss="HardNet")
+        raw = make_affnet_train_step(AffNetFast, make_descriptor("pixels"),
+                                     cfg)
+        params = AffNetFast.init(jax.random.PRNGKey(0))
+        batch = make_batch()
+        state0 = TrainState(params, init_momentum(params),
+                            jnp.asarray(0, jnp.int32))
+        _, m_single = jax.jit(raw)(state0, batch, jax.random.PRNGKey(7), 3.0)
+
+        mesh = make_mesh(8, devices=jax.devices("cpu"))
+        sharded = shard_train_step(raw, mesh)
+        state1 = TrainState(params, init_momentum(params),
+                            jnp.asarray(0, jnp.int32))
+        _, m_shard = sharded(state1, batch, jax.random.PRNGKey(7), 3.0)
+        np.testing.assert_allclose(float(m_shard["loss"]),
+                                   float(m_single["loss"]), rtol=1e-4)
+
+    def test_shard_apply(self):
+        mesh = make_mesh(8, devices=jax.devices("cpu"))
+        params = AffNetFast.init(jax.random.PRNGKey(0))
+        patches = jnp.asarray(np.random.RandomState(0)
+                              .rand(32, 32, 32).astype(np.float32))
+        apply = shard_apply(AffNetFast, mesh)
+        out_sharded = np.asarray(apply(params, patches))
+        out_single = np.asarray(AffNetFast(params, patches))
+        np.testing.assert_allclose(out_sharded, out_single, atol=1e-5)
+
+
+class TestData:
+    def test_generate_pairs_same_class(self):
+        rng = np.random.RandomState(0)
+        labels = np.repeat(np.arange(50), 4)
+        pairs = data_mod.generate_pairs(labels, 200, 16, rng)
+        assert (labels[pairs[:, 0]] == labels[pairs[:, 1]]).all()
+        assert (pairs[:, 0] != pairs[:, 1]).all()
+        # per-batch-unique classes
+        for st in range(0, 200 - 16, 16):
+            cls = labels[pairs[st:st + 16, 0]]
+            assert len(set(cls.tolist())) == 16
+
+    def test_pair_dataset_batches(self):
+        rng = np.random.RandomState(1)
+        patches = (rng.rand(120, 64, 64) * 255).astype(np.uint8)
+        labels = np.repeat(np.arange(30), 4)
+        ds = data_mod.PairDataset(patches, labels, n_pairs=64, batch_size=16)
+        batches = list(ds.batches())
+        assert len(batches) == 4
+        a, p = batches[0]
+        assert a.shape == (16, 64, 64) and a.dtype == np.float32
+        assert a.max() <= 1.0
+
+    def test_synthetic_pairs(self):
+        img = (np.random.RandomState(2).rand(400, 400) * 255)
+        patches, labels = data_mod.synthetic_pairs_from_image(
+            img, n_classes=20, views_per_class=3)
+        assert patches.shape == (60, 64, 64)
+        assert (np.bincount(labels) == 3).all()
+
+    def test_phototour_sheet_reader(self, tmp_path):
+        """Synthesize a tiny Brown-format dataset: one bmp sheet + info.txt."""
+        from PIL import Image
+        rng = np.random.RandomState(3)
+        sheet = (rng.rand(1024, 1024) * 255).astype(np.uint8)
+        d = os.path.join(tmp_path, "mini")
+        os.makedirs(d)
+        Image.fromarray(sheet).save(os.path.join(d, "patches0000.bmp"))
+        n = 40
+        labels = np.repeat(np.arange(20), 2)
+        np.savetxt(os.path.join(d, "info.txt"),
+                   np.stack([labels, np.zeros_like(labels)], 1), fmt="%d")
+        patches, labs = data_mod.read_phototour_dir(d)
+        assert patches.shape == (40, 64, 64)
+        np.testing.assert_array_equal(labs, labels)
+        np.testing.assert_array_equal(patches[1], sheet[0:64, 64:128])
