@@ -34,10 +34,25 @@ Array = jax.Array
 NMS_EPS = 1e-5
 
 
+def _maxpool3x3(x: Array) -> Array:
+    """3x3 stride-1 max pool with -inf padding, as shifted-slice maxes (a
+    1-channel reduce_window wastes TPU vector lanes)."""
+    h, w = x.shape
+    xp = jnp.pad(x, ((1, 1), (1, 1)), constant_values=-jnp.inf)
+    rows = [jax.lax.dynamic_slice_in_dim(xp, i, h, 0) for i in range(3)]
+    out = None
+    for r in rows:
+        rm = jnp.maximum(jnp.maximum(
+            jax.lax.dynamic_slice_in_dim(r, 0, w, 1),
+            jax.lax.dynamic_slice_in_dim(r, 1, w, 1)),
+            jax.lax.dynamic_slice_in_dim(r, 2, w, 1))
+        out = rm if out is None else jnp.maximum(out, rm)
+    return out
+
+
 def nms2d(x: Array, threshold: float = 0.0) -> Array:
     """2-D max-pool-equality NMS on (H, W).  Reference: NMS2d (:194-206)."""
-    mp = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
-                               [(1, 1), (1, 1)])
+    mp = _maxpool3x3(x)
     keep = (x - mp + NMS_EPS) > 0
     if threshold > NMS_EPS:
         keep = jnp.logical_and(keep, x > threshold)
@@ -50,8 +65,7 @@ def nms3d_center(low: Array, cur: Array, high: Array,
     of the 27-neighborhood across the three scale slices.
     Reference: NMS3d (:208-220) applied at [:, 1:2] (:248)."""
     m = jnp.maximum(jnp.maximum(low, cur), high)
-    mp = jax.lax.reduce_window(m, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
-                               [(1, 1), (1, 1)])
+    mp = _maxpool3x3(m)
     keep = (cur - mp + NMS_EPS) > 0
     if threshold > NMS_EPS:
         keep = jnp.logical_and(keep, cur > threshold)
@@ -96,19 +110,48 @@ def softargmax_scale_y_x(low: Array, cur: Array, high: Array,
     """Per-pixel soft-argmax refinement maps over the 3x3x3 response cube.
 
     Returns (scale, y, x) maps of shape (H, W) in *normalized* coordinates:
-    scale / min(h, w), y / h, x / w — exactly NMS3dAndComposeA:279-290."""
+    scale / min(h, w), y / h, x / w — exactly NMS3dAndComposeA:279-290.
+
+    Implemented as shifted-slice accumulation (separable in the offsets):
+    per level, row sums r0/r1/r2 over the 3 columns feed the (z, y, x, den)
+    accumulators — tiny-channel convs waste TPU vector lanes; this fuses
+    into a few VPU stencil passes."""
     h, w = cur.shape
-    resp3d = jnp.stack([low, cur, high])[None]            # (1, 3, h, w)
-    kern = jnp.asarray(_softargmax_kernel(sigmas3), cur.dtype)
-    out = jax.lax.conv_general_dilated(
-        resp3d, kern, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]    # (4, h, w)
-    den = out[3] + 1e-8
-    sc = out[0] / den
+    kern = _softargmax_kernel(sigmas3)          # offsets doc'd there
+
+    def shifts2d(m):
+        """sum over the 3x3 window (zero pad) and x/y-offset-weighted sums."""
+        mp = jnp.pad(m, ((1, 1), (1, 1)))
+        rows = [jax.lax.dynamic_slice_in_dim(mp, i, h, 0) for i in range(3)]
+        # column triplets for each row shift
+        s = jnp.zeros_like(m)
+        sy = jnp.zeros_like(m)
+        sx = jnp.zeros_like(m)
+        for di, r in enumerate(rows):
+            cols = [jax.lax.dynamic_slice_in_dim(r, j, w, 1) for j in range(3)]
+            rsum = cols[0] + cols[1] + cols[2]
+            s = s + rsum
+            sy = sy + (di - 0.5) * rsum
+            # x offsets are [-0.5, 0.5, 1.5] (reference grid bias).
+            sx = sx + (-0.5 * cols[0] + 0.5 * cols[1] + 1.5 * cols[2])
+        return s, sy, sx
+
+    num_z = jnp.zeros_like(cur)
+    num_y = jnp.zeros_like(cur)
+    num_x = jnp.zeros_like(cur)
+    den = jnp.zeros_like(cur)
+    for lvl, m in enumerate((low, cur, high)):
+        s, sy, sx = shifts2d(m)
+        den = den + s
+        num_z = num_z + sigmas3[lvl] * s
+        num_y = num_y + sy
+        num_x = num_x + sx
+    den = den + 1e-8
+    sc = num_z / den
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(cur.dtype)
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(cur.dtype)
-    y = out[1] / den + row
-    x = out[2] / den + col
+    y = num_y / den + row
+    x = num_x / den + col
     min_size = float(min(h, w))
     return sc / min_size, y / float(h), x / float(w)
 
