@@ -33,6 +33,12 @@ def main(argv=None):
     parser.add_argument("--desc-weights", default=None)
     parser.add_argument("--shape", default="AffNetFast",
                         choices=["AffNetFast", "Baumberg", "none"])
+    parser.add_argument("--shape-arch", default=None,
+                        help="any AffNet variant from the registry (with "
+                             "--shape-weights; overrides --shape)")
+    parser.add_argument("--shape-weights", default=None,
+                        help=".npz weights for the shape net (e.g. a "
+                             "training checkpoint)")
     parser.add_argument("--do-ori", action="store_true")
     parser.add_argument("--snn", type=float, default=0.8)
     parser.add_argument("--dist-th", type=float, default=6.0)
@@ -73,9 +79,18 @@ def main(argv=None):
         desc_net = PixDesc()
 
     shape_net, baum_iters = None, 0
-    if args.shape == "AffNetFast":
+    if args.shape_arch is not None:
+        from ..models import REGISTRY
+        shape_net = REGISTRY[args.shape_arch]
+        params["aff"] = (load_params_npz(args.shape_weights)
+                         if args.shape_weights
+                         else load_pretrained(args.shape_arch))
+        baum_iters = 1
+    elif args.shape == "AffNetFast":
         shape_net = AffNetFast
-        params["aff"] = load_pretrained("AffNetFast")
+        params["aff"] = (load_params_npz(args.shape_weights)
+                         if args.shape_weights
+                         else load_pretrained("AffNetFast"))
         baum_iters = 1
     elif args.shape == "Baumberg":
         shape_net = AffineShapeEstimator(19)

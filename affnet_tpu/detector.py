@@ -189,7 +189,7 @@ class ScaleSpaceAffinePatchExtractor:
         """num_baum_iters x shape-CNN composition + gates + final top-k.
         Reference: getAffineShape (SparseImgRepresenter.py:113-165)."""
         cfg = self.cfg
-        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims())
+        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
         lafs0 = cand["lafs"]
         lafs_cur = lafs0
         n = lafs0.shape[0]
@@ -232,7 +232,7 @@ class ScaleSpaceAffinePatchExtractor:
     def _orientation(self, params, cand, plan: PyramidPlan):
         """Reference: getOrientation (SparseImgRepresenter.py:167-180)."""
         cfg = self.cfg
-        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims())
+        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
         patches = extract_patches_from_flat_pyramid(
             cand["flat"], cand["lafs"], cand["ext_level"], offs, hs, ws,
             ps=self.ori_net.ps, align_corners=cfg.align_corners)
@@ -246,7 +246,7 @@ class ScaleSpaceAffinePatchExtractor:
         descriptor CNN.  Reference: extract_patches_from_pyr
         (SparseImgRepresenter.py:181-188) + HardNet (HardNet.py:98-101)."""
         cfg = self.cfg
-        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims())
+        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
         dlafs = denormalize_lafs(cand["lafs"], w, h)
         table = jnp.asarray(plan.sigma_pixdist_table())
         lvl = select_levels_for_lafs(dlafs, table, cfg.patch_size)

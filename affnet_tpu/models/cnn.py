@@ -67,6 +67,11 @@ class Tanh:
 
 
 @dataclasses.dataclass(frozen=True)
+class ELU:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
 class Dropout:
     p: float
 
@@ -146,6 +151,12 @@ def l2norm(x: Array, eps: float = 1e-10) -> Array:
     return x / norm[:, None]
 
 
+def l1norm(x: Array, eps: float = 1e-10) -> Array:
+    """Row-wise L1 normalization (Utils.py:77-84)."""
+    norm = jnp.sum(jnp.abs(x), axis=1) + eps
+    return x / norm[:, None]
+
+
 # ---------------------------------------------------------------------------
 # Spec-driven init / apply
 # ---------------------------------------------------------------------------
@@ -217,6 +228,8 @@ def apply_spec(spec: Spec, params: Params, x: Array, *,
             x = jnp.maximum(x, 0.0)
         elif isinstance(layer, Tanh):
             x = jnp.tanh(x)
+        elif isinstance(layer, ELU):
+            x = jax.nn.elu(x)
         elif isinstance(layer, Dropout):
             if train and rng is not None and layer.p > 0:
                 rng, sub = jax.random.split(rng)

@@ -24,9 +24,9 @@ from typing import Callable, Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from .cnn import (BN, AvgPoolGlobal, Conv, Dropout, MaxPool, Params, ReLU,
-                  Spec, Tanh, apply_spec, as_nhwc, init_params, input_norm,
-                  l2norm)
+from .cnn import (BN, ELU, AvgPoolGlobal, Conv, Dropout, MaxPool, Params,
+                  ReLU, Spec, Tanh, apply_spec, as_nhwc, init_params,
+                  input_norm, l2norm)
 from ..laf import rectify_up_is_up, rotation_matrix
 
 Array = jax.Array
@@ -281,12 +281,41 @@ _HARDTFEAT_SPEC: Spec = (
 HardTFeatNet = Descriptor("HardTFeatNet", _HARDTFEAT_SPEC, 32,
                           detach_input_norm=False)
 
+# Narrow ELU variant (examples/hesaffnet/HardNet.py:30-71).  Its committed
+# forward skips input_norm and the classifier head: features + global avg
+# pool, 64-d, unnormalized.
+_HARDNET_NAR_ELU_SPEC: Spec = (
+    Conv(1, 16, 3, 1, 1, bias=True), ELU(),
+    Conv(16, 16, 3, 1, 1, bias=True), ELU(),
+    Conv(16, 32, 3, 2, 1, bias=True), ELU(),
+    Conv(32, 32, 3, 1, 1, bias=True), ELU(),
+    Conv(32, 64, 3, 2, 1, bias=True), ELU(),
+    Conv(64, 64, 3, 1, 1, bias=True), ELU(),
+    AvgPoolGlobal(),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class _HardNetNarELU(PatchNet):
+    def features(self, params, patches, *, train=False, rng=None):
+        x = as_nhwc(patches)            # NB: no input_norm in the reference
+        feats, new_params = apply_spec(self.spec, params, x,
+                                       train=train, rng=rng)
+        return feats.reshape(feats.shape[0], -1), new_params
+
+    def __call__(self, params, patches, *, train=False, rng=None):
+        feats, _ = self.features(params, patches, train=train, rng=rng)
+        return feats
+
+
+HardNetNarELU = _HardNetNarELU("HardNetNarELU", _HARDNET_NAR_ELU_SPEC, 32)
+
 
 REGISTRY: Dict[str, PatchNet] = {
     net.name: net for net in [
         AffNetFast, AffNetFast4, AffNetFastScale, AffNetFast4Rot,
         AffNetFast4RotNosc, AffNetFast52RotUp, AffNetFast52Rot,
         AffNetFast52RotL, AffNetFast5Rot, AffNetFast2Par, AffNetFastBias,
-        OriNetFast, OriNetFast32, HardNet, HardTFeatNet,
+        OriNetFast, OriNetFast32, HardNet, HardTFeatNet, HardNetNarELU,
     ]
 }

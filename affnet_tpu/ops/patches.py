@@ -1,12 +1,14 @@
 """Affine patch extraction: batched bilinear gather from images or from the
-flat pyramid buffer.
+row-padded pyramid buffer.
 
 TPU-first replacement for the reference's F.affine_grid + chunked
 F.grid_sample path (LAF.py:313-372) and for the per-(octave,level)
 scatter/gather loop extract_patches_from_pyramid_with_inv_index
-(LAF.py:376-404): instead of Python loops over ragged levels, every LAF
-carries a flat level id and all patches are sampled by ONE vectorized gather
-from a single 1-D HBM buffer holding every pyramid level.
+(LAF.py:376-404): every LAF carries a flat level id and all patches are
+sampled by ONE vectorized gather from a row-padded 2-D buffer holding every
+pyramid level.  Each bilinear sample fetches its 2x2 support as a single
+lax.gather window — 4x fewer (and contiguous) gathers than per-corner
+scalar gathers, which dominates the pipeline cost otherwise.
 
 Sampling semantics replicate torch grid_sample / affine_grid exactly, in both
 conventions:
@@ -43,27 +45,22 @@ def _base_grid(ps: int, align_corners: bool, dtype=jnp.float32):
     return gx, gy
 
 
-def _bilinear_gather_flat(buf: Array, off, h, w, u: Array, v: Array) -> Array:
-    """Bilinear sample buf[off : off + h*w] viewed as (h, w) at float coords
-    (u, v) with zeros padding.  u, v: (PS, PS); h, w, off: scalars (traced)."""
-    x0 = jnp.floor(u)
-    y0 = jnp.floor(v)
-    fx = u - x0
-    fy = v - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+def _bilinear_window_sample(buf2d: Array, row_off, h, w,
+                            u: Array, v: Array) -> Array:
+    """Bilinear sample of the level living at rows [row_off, row_off + h) of
+    the row-padded buffer, at float coords (u, v) (any shape), zeros padding.
 
-    def corner(xi, yi, wgt):
-        inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
-        xc = jnp.clip(xi, 0, w - 1)
-        yc = jnp.clip(yi, 0, h - 1)
-        vals = jnp.take(buf, off + yc * w + xc, mode="clip")
-        return vals * wgt * inb.astype(buf.dtype)
-
-    return (corner(x0i, y0i, (1 - fx) * (1 - fy))
-            + corner(x0i + 1, y0i, fx * (1 - fy))
-            + corner(x0i, y0i + 1, (1 - fx) * fy)
-            + corner(x0i + 1, y0i + 1, fx * fy))
+    Four flat jnp.take gathers (one per bilinear corner).  NB a (2,2)-window
+    lax.gather sounds cheaper but lowers to a serialized dynamic-slice loop
+    on TPU (~50x slower, measured); flat takes vectorize."""
+    shape = u.shape
+    out = _bilinear_window_sample_vec(
+        buf2d,
+        jnp.broadcast_to(jnp.asarray(row_off, jnp.int32), shape).reshape(-1),
+        jnp.broadcast_to(jnp.asarray(h, jnp.int32), shape).reshape(-1),
+        jnp.broadcast_to(jnp.asarray(w, jnp.int32), shape).reshape(-1),
+        u.reshape(-1), v.reshape(-1))
+    return out.reshape(shape)
 
 
 def _laf_sample_coords(laf: Array, h, w, gx: Array, gy: Array,
@@ -85,26 +82,68 @@ def _laf_sample_coords(laf: Array, h, w, gx: Array, gy: Array,
 
 
 @partial(jax.jit, static_argnames=("ps", "align_corners"))
-def extract_patches_from_flat_pyramid(buf: Array, lafs: Array,
-                                      level_idx: Array, offsets: Array,
+def extract_patches_from_flat_pyramid(buf2d: Array, lafs: Array,
+                                      level_idx: Array, row_offsets: Array,
                                       heights: Array, widths: Array,
                                       ps: int = 32,
                                       align_corners: bool = False) -> Array:
     """Extract (N, PS, PS) patches; LAF i samples pyramid level
-    ``level_idx[i]`` (flat index into the offset/height/width tables).
+    ``level_idx[i]`` (flat index into the row-offset/height/width tables of
+    the row-padded buffer).
 
     Replaces extract_patches_from_pyramid_with_inv_index (LAF.py:376-390) +
     get_inverted_pyr_index (LAF.py:392-404) with a single vectorized gather."""
     gx, gy = _base_grid(ps, align_corners, lafs.dtype)
+    n = lafs.shape[0]
+    h = heights[level_idx].astype(lafs.dtype)[:, None, None]
+    w = widths[level_idx].astype(lafs.dtype)[:, None, None]
+    m = jnp.minimum(h, w)
+    A = lafs[:, :, :2]
+    xs = m * (A[:, None, None, 0, 0] * gx + A[:, None, None, 0, 1] * gy) \
+        + w * lafs[:, None, None, 0, 2]
+    ys = m * (A[:, None, None, 1, 0] * gx + A[:, None, None, 1, 1] * gy) \
+        + h * lafs[:, None, None, 1, 2]
+    if align_corners:
+        u = xs * (w - 1.0) / w
+        v = ys * (h - 1.0) / h
+    else:
+        u = xs - 0.5
+        v = ys - 0.5
+    # Per-sample level geometry, broadcast to (N, PS, PS).
+    hi = jnp.broadcast_to(heights[level_idx][:, None, None], u.shape)
+    wi = jnp.broadcast_to(widths[level_idx][:, None, None], u.shape)
+    ro = jnp.broadcast_to(row_offsets[level_idx][:, None, None], u.shape)
+    flat = _bilinear_window_sample_vec(buf2d, ro.reshape(-1),
+                                       hi.reshape(-1), wi.reshape(-1),
+                                       u.reshape(-1), v.reshape(-1))
+    return flat.reshape(n, ps, ps)
 
-    def one(laf, lvl):
-        off = offsets[lvl]
-        h = heights[lvl]
-        w = widths[lvl]
-        u, v = _laf_sample_coords(laf, h, w, gx, gy, align_corners)
-        return _bilinear_gather_flat(buf, off, h, w, u, v)
 
-    return jax.vmap(one)(lafs, level_idx)
+def _bilinear_window_sample_vec(buf2d: Array, row_off: Array, h: Array,
+                                w: Array, u: Array, v: Array) -> Array:
+    """Bilinear sampling with PER-SAMPLE level geometry (row_off, h, w are
+    int vectors aligned with u, v); four flat gathers into the row-padded
+    buffer (pitch = buffer width)."""
+    pitch = buf2d.shape[1]
+    flat = buf2d.reshape(-1)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(xc, yc, wgt):
+        inb = ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1))
+        xcc = jnp.clip(xc, 0, w - 1)
+        ycc = jnp.clip(yc, 0, h - 1)
+        vals = jnp.take(flat, (row_off + ycc) * pitch + xcc, mode="clip")
+        return vals * wgt * inb.astype(buf2d.dtype)
+
+    return (corner(x0i, y0i, (1 - fx) * (1 - fy))
+            + corner(x0i + 1, y0i, fx * (1 - fy))
+            + corner(x0i, y0i + 1, (1 - fx) * fy)
+            + corner(x0i + 1, y0i + 1, fx * fy))
 
 
 @partial(jax.jit, static_argnames=("ps", "align_corners"))
@@ -114,12 +153,11 @@ def extract_patches(img: Array, lafs: Array, ps: int = 32,
     LAFs.  Equivalent to extract_patches (LAF.py:364-372) without the memory
     chunking (unnecessary on TPU: the whole batch is one gather)."""
     h, w = img.shape
-    buf = img.reshape(-1)
     gx, gy = _base_grid(ps, align_corners, lafs.dtype)
 
     def one(laf):
         u, v = _laf_sample_coords(laf, h, w, gx, gy, align_corners)
-        return _bilinear_gather_flat(buf, 0, h, w, u, v)
+        return _bilinear_window_sample(img, 0, h, w, u, v)
 
     return jax.vmap(one)(lafs)
 
@@ -129,15 +167,22 @@ def extract_patches_batched(imgs: Array, lafs: Array, ps: int = 32,
                             align_corners: bool = False) -> Array:
     """Per-sample extraction: imgs (N, H, W), lafs (N, 2, 3) -> (N, PS, PS).
     Used by the training augmentation path (train_AffNet_test_on_graffity.py:
-    176-188) where each LAF warps its own source patch."""
+    176-188) where each LAF warps its own source patch.
+
+    Implemented on the stacked (N*H, W) buffer so all N warps are one
+    windowed gather."""
     n, h, w = imgs.shape
     gx, gy = _base_grid(ps, align_corners, lafs.dtype)
-
-    def one(img, laf):
-        u, v = _laf_sample_coords(laf, h, w, gx, gy, align_corners)
-        return _bilinear_gather_flat(img.reshape(-1), 0, h, w, u, v)
-
-    return jax.vmap(one)(imgs, lafs)
+    buf2d = imgs.reshape(n * h, w)
+    row_off = (jnp.arange(n, dtype=jnp.int32) * h)[:, None, None]
+    u, v = jax.vmap(lambda laf: _laf_sample_coords(laf, h, w, gx, gy,
+                                                   align_corners))(lafs)
+    ro = jnp.broadcast_to(row_off, u.shape).reshape(-1)
+    hv = jnp.full_like(ro, h)
+    wv = jnp.full_like(ro, w)
+    flat = _bilinear_window_sample_vec(buf2d, ro, hv, wv,
+                                       u.reshape(-1), v.reshape(-1))
+    return flat.reshape(n, ps, ps)
 
 
 def select_levels_for_lafs(dlafs: Array, sigma_pixdist_table: Array,

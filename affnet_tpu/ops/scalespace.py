@@ -134,6 +134,25 @@ class PyramidPlan:
         ws = np.array([w for _, w in shapes], np.int32)
         return self.level_offsets(), hs, ws
 
+    # --- row-padded 2-D layout (fast (2,2)-window gathers) -----------------
+    def row_offsets(self) -> np.ndarray:
+        """Starting ROW of each level in the row-padded (sum_h, max_w)
+        buffer."""
+        hs = [h for h, _ in self.level_shapes()]
+        return np.concatenate([[0], np.cumsum(hs)[:-1]]).astype(np.int32)
+
+    def padded_buffer_shape(self) -> Tuple[int, int]:
+        shapes = self.level_shapes()
+        return (int(sum(h for h, _ in shapes)),
+                int(max(w for _, w in shapes)))
+
+    def level_dims_padded(self):
+        """(row_offsets, heights, widths) for the row-padded buffer."""
+        shapes = self.level_shapes()
+        hs = np.array([h for h, _ in shapes], np.int32)
+        ws = np.array([w for _, w in shapes], np.int32)
+        return self.row_offsets(), hs, ws
+
     def sigma_pixdist_table(self) -> np.ndarray:
         """sigma * pix_dist per flat level — the effective blur in original-image
         pixels, used for descriptor-patch level selection (LAF.py:453-472)."""
@@ -201,8 +220,15 @@ def build_pyramid(img: Array, plan: PyramidPlan,
 
 
 def build_flat_pyramid(img: Array, plan: PyramidPlan, py2: bool = False):
-    """Build the pyramid and also pack every level into one flat 1-D buffer
-    (for vectorized patch gathers).  Returns (pyr, flat_buffer)."""
+    """Build the pyramid and also pack every level into one row-padded 2-D
+    buffer (sum of heights, max width) for vectorized (2,2)-window patch
+    gathers.  Returns (pyr, buf2d)."""
     pyr = build_pyramid(img, plan, py2=py2)
-    flat = jnp.concatenate([lvl.reshape(-1) for oct_ in pyr for lvl in oct_])
-    return pyr, flat
+    _, wmax = plan.padded_buffer_shape()
+    rows = []
+    for oct_ in pyr:
+        for lvl in oct_:
+            h, w = lvl.shape
+            rows.append(jnp.pad(lvl, ((0, 0), (0, wmax - w)))
+                        if w < wmax else lvl)
+    return pyr, jnp.concatenate(rows, axis=0)

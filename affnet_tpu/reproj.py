@@ -70,7 +70,7 @@ def affine_aug(img: Array, key, max_add: float = 0.5,
                align_corners: bool = False) -> Tuple[Array, Array]:
     """Random affine warp of a whole (H, W) image + ground-truth H mapping
     original -> new coordinates.  Reference: ReprojectionStuff.py:57-76."""
-    from .ops.patches import _base_grid, _bilinear_gather_flat
+    from .ops.patches import _bilinear_window_sample
     h, w = img.shape
     rand_add = max_add * (jax.random.uniform(key, (3, 3)) - 0.5) * 2.0
     rand_add = rand_add.at[2, 0:2].set(0.0).at[2, 2].set(0.0)
@@ -78,8 +78,6 @@ def affine_aug(img: Array, key, max_add: float = 0.5,
     H_orig2new = (jnp.asarray(grid2px_A(w, h))
                   @ jnp.linalg.inv(A) @ jnp.asarray(px2grid_A(w, h)))
     # affine_grid over the full image + grid_sample (zeros padding).
-    gx, gy = _base_grid(max(h, w), align_corners)       # placeholder
-    # Build the exact (h, w) base grid.
     if align_corners:
         lx = jnp.linspace(-1.0, 1.0, w)
         ly = jnp.linspace(-1.0, 1.0, h)
@@ -96,7 +94,7 @@ def affine_aug(img: Array, key, max_add: float = 0.5,
     else:
         u = ((xs + 1.0) * w - 1.0) / 2.0
         v = ((ys + 1.0) * h - 1.0) / 2.0
-    new_img = _bilinear_gather_flat(img.reshape(-1), 0, h, w, u, v)
+    new_img = _bilinear_window_sample(img, 0, h, w, u, v)
     return new_img, H_orig2new
 
 

@@ -57,7 +57,7 @@ class LAFShapeOptimizer:
         h, w = img.shape
         plan = make_plan(h, w, self.n_levels, self.init_sigma, self.border)
         _, flat = build_flat_pyramid(jnp.asarray(img), plan)
-        dims = tuple(jnp.asarray(t) for t in plan.level_dims())
+        dims = tuple(jnp.asarray(t) for t in plan.level_dims_padded())
         table = jnp.asarray(plan.sigma_pixdist_table())
         return plan, flat, dims, table, (h, w)
 

@@ -64,12 +64,12 @@ class TestPyramidPlan:
         plan = scalespace.make_plan(64, 96, border=5)
         img = jnp.asarray(np.random.RandomState(1).rand(64, 96)
                           .astype(np.float32))
-        pyr, flat = scalespace.build_flat_pyramid(img, plan)
-        offs, hs, ws = plan.level_dims()
-        assert flat.shape[0] == plan.flat_buffer_size()
+        pyr, buf = scalespace.build_flat_pyramid(img, plan)
+        row_offs, hs, ws = plan.level_dims_padded()
+        assert buf.shape == plan.padded_buffer_shape()
         k = plan.flat_index(1, 2)
         h, w = plan.octave_shapes[1]
-        lvl = np.asarray(flat)[offs[k]:offs[k] + h * w].reshape(h, w)
+        lvl = np.asarray(buf)[row_offs[k]:row_offs[k] + h, :w]
         np.testing.assert_allclose(lvl, np.asarray(pyr[1][2]), atol=1e-7)
 
 
@@ -189,15 +189,15 @@ class TestPatchSampler:
         plan = scalespace.make_plan(48, 64, border=5)
         img = jnp.asarray(np.random.RandomState(0).rand(48, 64)
                           .astype(np.float32))
-        pyr, flat = scalespace.build_flat_pyramid(img, plan)
-        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims())
+        pyr, buf = scalespace.build_flat_pyramid(img, plan)
+        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
         data = np.load(os.path.join(FIX, "grid_sample.npz"))
         lafs = jnp.asarray(data["lafs"])
         # All LAFs target flat level (1, 2).
         k = plan.flat_index(1, 2)
         lvl_idx = jnp.full((lafs.shape[0],), k, jnp.int32)
         ours = np.asarray(patches.extract_patches_from_flat_pyramid(
-            flat, lafs, lvl_idx, offs, hs, ws, ps=19))
+            buf, lafs, lvl_idx, offs, hs, ws, ps=19))
         direct = np.asarray(patches.extract_patches(pyr[1][2], lafs, ps=19))
         np.testing.assert_allclose(ours, direct, atol=1e-6)
 
