@@ -96,16 +96,25 @@ Spec = Tuple[Layer, ...]
 # Primitive ops
 # ---------------------------------------------------------------------------
 
-def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad) -> Array:
-    """x NHWC, w HWIO; pad is an int (symmetric zeros) or 'VALID'."""
+def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
+           compute_dtype=None) -> Array:
+    """x NHWC, w HWIO; pad is an int (symmetric zeros) or 'VALID'.
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) casts the conv INPUTS only — the
+    MXU accumulates and returns float32 (explicit-dtype speed policy; see
+    affnet_tpu.__init__)."""
     if isinstance(pad, int):
         padding = [(pad, pad), (pad, pad)]
     else:
         padding = pad
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype)
+        preferred_element_type=out_dtype)
     if b is not None:
         y = y + b
     return y
@@ -206,7 +215,7 @@ def init_params(key, spec: Spec, gain: float = 0.8,
 
 
 def apply_spec(spec: Spec, params: Params, x: Array, *,
-               train: bool = False, rng=None):
+               train: bool = False, rng=None, compute_dtype=None):
     """Run the layer stack on NHWC input.  Returns (features, new_params)
     where new_params carries updated BN running stats when train=True
     (otherwise it is ``params`` unchanged)."""
@@ -216,7 +225,8 @@ def apply_spec(spec: Spec, params: Params, x: Array, *,
         if isinstance(layer, Conv):
             p = params[name]
             x = conv2d(x, p["w"], p.get("b"), layer.stride,
-                       layer.pad if layer.pad > 0 else "VALID")
+                       layer.pad if layer.pad > 0 else "VALID",
+                       compute_dtype=compute_dtype)
         elif isinstance(layer, BN):
             p = params[name]
             if train:

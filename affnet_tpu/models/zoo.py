@@ -19,7 +19,7 @@ Every spec's layer indices equal the torch ``nn.Sequential`` indices, so
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Sequence
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +144,11 @@ class PatchNet:
     init_gain: float = 0.8
     last_gain: float = 1.0
     last_bias: Optional[Sequence[float]] = None
+    compute_dtype: Optional[Any] = None     # e.g. jnp.bfloat16 for MXU speed
+
+    def with_dtype(self, dtype) -> "PatchNet":
+        """Same net with conv inputs cast to ``dtype`` (f32 accumulation)."""
+        return dataclasses.replace(self, compute_dtype=dtype)
 
     def init(self, key) -> Params:
         return init_params(key, self.spec, gain=self.init_gain,
@@ -154,7 +159,8 @@ class PatchNet:
         x = as_nhwc(patches)
         x = input_norm(x, detach=self.detach_input_norm)
         feats, new_params = apply_spec(self.spec, params, x,
-                                       train=train, rng=rng)
+                                       train=train, rng=rng,
+                                       compute_dtype=self.compute_dtype)
         return feats.reshape(feats.shape[0], -1), new_params
 
     def __call__(self, params: Params, patches: Array, *,
