@@ -68,6 +68,9 @@ class DetectorConfig:
                                    # prefilter ceiling)
     align_corners: bool = False    # torch>=1.3 semantics (the runnable ref)
     py2: bool = False              # python-2 kernel semantics of the 2018 code
+    fused_detect: bool = True      # Pallas fused hessian+NMS+softargmax
+                                   # (identical survivor sets; values differ
+                                   # only by fp reassociation)
 
     @property
     def threshold_mode(self) -> bool:
@@ -143,15 +146,29 @@ class ScaleSpaceAffinePatchExtractor:
         det_offsets, ext_levels, oct_ids, level_ids, total = \
             _detection_tables(plan, cfg)
 
+        use_fused = cfg.fused_detect and self.resp_fn is hessian_response
+
         resp_chunks, sc_chunks, y_chunks, x_chunks = [], [], [], []
         for o in range(plan.n_octaves):
             h, w = plan.octave_shapes[o]
             sig = plan.sigmas[o]
+            octmap = jnp.zeros((h, w), img.dtype)
+            bmask = border_mask(h, w, int(cfg.mr_size), img.dtype)
+            if use_fused:
+                from .ops.pallas_detect import detect_octave_fused
+                fused = detect_octave_fused(pyr[o], sig, cfg.effective_th)
+                for l in range(1, plan.levels_per_octave - 1):
+                    nmsed_raw, sc, yy, xx = fused[l - 1]
+                    nmsed = nmsed_raw * bmask
+                    nmsed, octmap = update_octave_map(octmap, nmsed)
+                    resp_chunks.append(nmsed.ravel())
+                    sc_chunks.append(sc.ravel())
+                    y_chunks.append(yy.ravel())
+                    x_chunks.append(xx.ravel())
+                continue
             rs = [jnp.maximum(self.resp_fn(pyr[o][l], sig[l])
                               - cfg.effective_th, 0.0)
                   for l in range(plan.levels_per_octave)]
-            octmap = jnp.zeros((h, w), img.dtype)
-            bmask = border_mask(h, w, int(cfg.mr_size), img.dtype)
             for l in range(1, plan.levels_per_octave - 1):
                 nmsed = nms3d_center(rs[l - 1], rs[l], rs[l + 1]) * bmask
                 nmsed, octmap = update_octave_map(octmap, nmsed)

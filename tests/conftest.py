@@ -15,6 +15,11 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# Compiled Pallas kernels need a TPU; run them interpreted on the CPU backend.
+from affnet_tpu.ops import pallas_detect  # noqa: E402
+
+pallas_detect.INTERPRET = True
+
 
 def cpu_devices():
     return jax.devices("cpu")
