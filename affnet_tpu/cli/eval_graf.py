@@ -27,6 +27,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--graf-dir", default=DEFAULT_GRAF)
     parser.add_argument("--img2-idx", type=int, default=6)
+    parser.add_argument("--all", action="store_true",
+                        help="evaluate every pair 1-2 .. 1-6 and summarize")
     parser.add_argument("--nfeats", type=int, default=3000)
     parser.add_argument("--descriptor", default="SIFT",
                         choices=["SIFT", "HardNet", "pixels"])
@@ -45,6 +47,18 @@ def main(argv=None):
     parser.add_argument("--save-vis", default=None,
                         help="directory for LAF visualization PNGs")
     args = parser.parse_args(argv)
+
+    if args.all:
+        import sys
+        base = [a for a in (argv if argv is not None else sys.argv[1:])
+                if a != "--all" and not a.startswith("--img2-idx")]
+        rows = []
+        for i in range(2, 7):
+            rows.append((i, *main(base + ["--img2-idx", str(i)])))
+        print("\npair  tentatives  true  inl.ratio")
+        for i, t, m, r in rows:
+            print(f"1-{i}   {t:9d}  {m:4d}  {r:.4f}")
+        return rows
 
     import jax.numpy as jnp
     from ..detector import DetectorConfig, ScaleSpaceAffinePatchExtractor

@@ -32,7 +32,7 @@ class TestOnePass:
         np.testing.assert_allclose(out, golden["dense_map"], atol=1e-4)
 
     def test_onepass_detector_parity(self, golden, aff_params):
-        cfg = DetectorConfig(num_features=50, border=15, mr_size=5.192,
+        cfg = DetectorConfig(num_features=50, border=15, mr_size=5.192, fused_detect=False,
                              num_baum_iters=0, th=None)
         det = OnePassSIR(cfg)
         out = det(golden["img"], params={"aff": aff_params})
@@ -42,7 +42,7 @@ class TestOnePass:
         np.testing.assert_allclose(out["lafs"], golden["lafs"], atol=1e-2)
 
     def test_onepass_describe(self, golden, aff_params):
-        cfg = DetectorConfig(num_features=30, border=15, mr_size=5.192,
+        cfg = DetectorConfig(num_features=30, border=15, mr_size=5.192, fused_detect=False,
                              num_baum_iters=0, th=None, patch_size=32)
         det = OnePassSIR(cfg, desc_net=SIFTNet(patch_size=32))
         out = det(golden["img"], params={"aff": aff_params}, describe=True)
