@@ -15,15 +15,18 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 
-def export_patch_net(net, params, batch: str = "b") -> bytes:
-    """Serialize net(params, patches (b, PS, PS)) with a symbolic batch dim.
-    Returns portable StableHLO bytes."""
+def export_patch_net(net, params, batch: str = "b",
+                     platforms=("tpu", "cpu")) -> bytes:
+    """Serialize net(params, patches (b, PS, PS)) with a symbolic batch dim,
+    lowered for every platform in ``platforms``.  Returns portable StableHLO
+    bytes."""
     def fn(patches):
         return net(params, patches)
 
     shape = jax_export.symbolic_shape(f"({batch}, {net.ps}, {net.ps})")
     spec = jax.ShapeDtypeStruct(shape, jnp.float32)
-    exported = jax_export.export(jax.jit(fn))(spec)
+    exported = jax_export.export(jax.jit(fn),
+                                 platforms=list(platforms))(spec)
     return exported.serialize()
 
 

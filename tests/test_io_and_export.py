@@ -1,0 +1,105 @@
+"""IO format round-trips, model export round-trip, CLI smoke tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from affnet_tpu import io_formats
+from affnet_tpu.laf import ells_to_lafs, lafs_to_ells
+
+
+class TestIOFormats:
+    def test_ells_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        ells = np.abs(rng.rand(12, 5)) * 100
+        path = os.path.join(tmp_path, "out.txt")
+        io_formats.write_ells(path, ells)
+        lines = open(path).read().splitlines()
+        assert lines[0] == "1.0"
+        assert lines[1] == "12"
+        back = io_formats.read_ells(path)
+        np.testing.assert_allclose(back, ells, atol=1e-9)
+
+    def test_upright_affine_format(self, tmp_path):
+        A = np.array([[[1.5, 0.0], [-0.6, 0.65]]], np.float32)
+        path = os.path.join(tmp_path, "shapes.txt")
+        io_formats.write_upright_affine(path, A)
+        row = open(path).read().split()
+        assert len(row) == 4
+        assert float(row[1]) == 0.0
+        np.testing.assert_allclose(float(row[0]), 1.5)
+
+    def test_homography_reader(self):
+        H = io_formats.read_homography("/root/reference/test-graf/H1to6p")
+        assert H.shape == (3, 3)
+        assert abs(H[2, 2]) > 0
+
+    def test_ells_file_vs_laf_roundtrip(self, tmp_path):
+        """ells written from LAFs reload into equivalent LAFs."""
+        rng = np.random.RandomState(1)
+        A = rng.rand(6, 2, 2).astype(np.float32) + np.eye(2) * 10
+        lafs = np.concatenate([A, rng.rand(6, 2, 1).astype(np.float32) * 50],
+                              axis=2)
+        ells = np.asarray(lafs_to_ells(jnp.asarray(lafs)))
+        path = os.path.join(tmp_path, "e.txt")
+        io_formats.write_ells(path, ells)
+        back = io_formats.read_ells(path).astype(np.float32)
+        lafs2 = np.asarray(ells_to_lafs(jnp.asarray(back)))
+        # Ellipses forget orientation; compare the ellipse forms.
+        ells2 = np.asarray(lafs_to_ells(jnp.asarray(lafs2)))
+        np.testing.assert_allclose(ells2, ells, rtol=2e-2, atol=1e-4)
+
+
+class TestExport:
+    def test_export_roundtrip(self, tmp_path):
+        from affnet_tpu.export import export_to_file, load_from_file
+        from affnet_tpu.models import AffNetFast
+        params = AffNetFast.init(jax.random.PRNGKey(0))
+        path = os.path.join(tmp_path, "net.stablehlo")
+        export_to_file(AffNetFast, params, path)
+        fn = load_from_file(path)
+        for n in (2, 5):
+            x = np.random.RandomState(n).rand(n, 32, 32).astype(np.float32)
+            out = np.asarray(fn(x))
+            direct = np.asarray(AffNetFast(params, jnp.asarray(x)))
+            np.testing.assert_allclose(out, direct, atol=1e-5)
+
+
+class TestCLISmoke:
+    def test_detect_affine_shape_cli(self, tmp_path):
+        from PIL import Image
+        from affnet_tpu.cli.detect_affine_shape import main
+        img = np.asarray(Image.open("/root/reference/test-graf/img1.png")
+                         .convert("L"))
+        col = np.concatenate([img[y:y + 65, 100:165]
+                              for y in (100, 200, 300)], 0)
+        inp = os.path.join(tmp_path, "col.png")
+        out = os.path.join(tmp_path, "out.txt")
+        Image.fromarray(col).save(inp)
+        main([inp, out])
+        A = np.loadtxt(out)
+        assert A.shape == (3, 4)
+        det = A[:, 0] * A[:, 3] - A[:, 1] * A[:, 2]
+        np.testing.assert_allclose(det, 1.0, atol=1e-3)
+        assert (A[:, 1] == 0).all()
+
+    def test_hesaffnet_cli_topk(self, tmp_path):
+        from affnet_tpu.cli.hesaffnet import main
+        out = os.path.join(tmp_path, "ells.txt")
+        # Small crop via a temp image for speed.
+        from PIL import Image
+        img = Image.open("/root/reference/test-graf/img1.png").crop(
+            (0, 0, 160, 120))
+        inp = os.path.join(tmp_path, "crop.png")
+        img.save(inp)
+        main([inp, out, "40", "--topk"])
+        ells = io_formats.read_ells(out)
+        # On a tiny crop fewer than 40 keypoints survive the shape gates.
+        assert 10 < len(ells) <= 40
+        # a*c - b^2 > 0: valid ellipse forms.
+        assert ((ells[:, 2] * ells[:, 4] - ells[:, 3] ** 2) > 0).all()
