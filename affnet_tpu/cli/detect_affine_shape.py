@@ -10,7 +10,6 @@ Usage: python -m affnet_tpu.cli.detect_affine_shape imgs/face.png out.txt
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

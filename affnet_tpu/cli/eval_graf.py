@@ -60,7 +60,6 @@ def main(argv=None):
             print(f"1-{i}   {t:9d}  {m:4d}  {r:.4f}")
         return rows
 
-    import jax.numpy as jnp
     from ..detector import DetectorConfig, ScaleSpaceAffinePatchExtractor
     from ..match import snn_match_host
     from ..models import (AffNetFast, AffineShapeEstimator, HardNet,

@@ -39,7 +39,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     from ..detector import DetectorConfig
     from ..onepass import OnePassSIR
     from ..laf import lafs_to_ells

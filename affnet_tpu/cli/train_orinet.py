@@ -8,7 +8,6 @@ Usage mirrors train_affnet; see its docstring.
 
 from __future__ import annotations
 
-import argparse
 import os
 
 from .train_affnet import build_parser, make_dataset

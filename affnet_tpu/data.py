@@ -23,8 +23,7 @@ import hashlib
 import os
 import subprocess
 import sys
-import tempfile
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

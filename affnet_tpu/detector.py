@@ -31,16 +31,14 @@ tests/test_detector.py):
 from __future__ import annotations
 
 import dataclasses
-import math
-from functools import partial
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .laf import (angles2A, check_touch_boundary, denormalize_lafs,
-                  eig2x2_vals, normalize_lafs, sc_y_x_to_lafs)
+from .laf import (check_touch_boundary, denormalize_lafs, eig2x2_vals,
+                  sc_y_x_to_lafs)
 from .models.handcrafted import AffineShapeEstimator, OrientationDetector
 from .ops.hessian import hessian_response
 from .ops.nms import (border_mask, masked_topk, nms3d_center,

@@ -11,8 +11,6 @@ Channel layout here is NHWC with the affine map as 4 trailing channels
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -76,13 +76,12 @@ def sift_describe(patches: Array, patch_size: int = 65, num_ang_bins: int = 8,
     # Soft-binned angular maps: (N, H, W, bins)
     maps = (jax.nn.one_hot(bo0, num_ang_bins, dtype=patches.dtype) * wo0[..., None]
             + jax.nn.one_hot(bo1, num_ang_bins, dtype=patches.dtype) * wo1[..., None])
-    # Spatial pooling conv: depthwise (same triangular kernel per angular bin).
-    kern = jnp.tile(pk[:, :, None, None], (1, 1, 1, num_ang_bins))
-    # Depthwise conv: feature_group_count = num_ang_bins, HWIO with I=1.
+    # Spatial pooling: depthwise conv (the same triangular kernel per
+    # angular bin; feature_group_count = num_ang_bins, HWIO with I=1).
     pooled = jax.lax.conv_general_dilated(
-        maps, jnp.transpose(pk[:, :, None, None] * jnp.ones((1, 1, 1, num_ang_bins),
-                                                            patches.dtype),
-                            (0, 1, 2, 3)),
+        maps,
+        pk[:, :, None, None] * jnp.ones((1, 1, 1, num_ang_bins),
+                                        patches.dtype),
         window_strides=(stride, stride), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=num_ang_bins)

@@ -15,8 +15,6 @@ response map before the top-k (same surviving set).
 
 from __future__ import annotations
 
-from typing import Dict
-
 import numpy as np
 import jax
 import jax.numpy as jnp

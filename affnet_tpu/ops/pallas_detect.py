@@ -26,7 +26,7 @@ cover end-to-end behavior.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

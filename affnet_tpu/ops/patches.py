@@ -26,7 +26,6 @@ bilinear corners contribute zero (padding_mode='zeros').
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

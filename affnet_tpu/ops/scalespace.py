@@ -25,8 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax

@@ -18,12 +18,10 @@ Scaling axes:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "batch"

@@ -10,7 +10,7 @@ use inside jit; host wrappers return index arrays like the reference.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -20,8 +20,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax
@@ -330,6 +329,9 @@ def train_loop(model, dataset, cfg: TrainConfig, log_dir: str = "./logs",
                        jnp.asarray(0, jnp.int32))
     key = jax.random.PRNGKey(cfg.seed)
 
+    from .utils import MetricsLogger
+    logger = MetricsLogger(os.path.join(log_dir, "metrics.jsonl"))
+    global_step = 0
     for epoch in range(start_epoch, start_epoch + cfg.epochs):
         max_tilt = tilt_for_epoch(epoch)
         for i, (a, p) in enumerate(dataset.batches()):
@@ -341,8 +343,14 @@ def train_loop(model, dataset, cfg: TrainConfig, log_dir: str = "./logs",
                       f"loss {float(metrics['loss']):.4f} "
                       f"descr_dist {float(metrics['descr_dist']):.4f} "
                       f"lr {float(metrics['lr']):.5f}")
+                logger.log(global_step, epoch=epoch,
+                           loss=metrics["loss"],
+                           descr_dist=metrics["descr_dist"],
+                           lr=metrics["lr"])
+            global_step += 1
         save_checkpoint(os.path.join(log_dir, f"checkpoint_{epoch}.npz"),
                         state.params, epoch + 1)
         if eval_fn is not None:
             eval_fn(state.params, epoch)
+    logger.close()
     return state
