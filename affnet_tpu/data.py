@@ -301,8 +301,13 @@ class HPatchesDM:
                     continue
                 if f.replace(".png", "") not in good:
                     continue
-                p, rows, max_idx = read_patch_file(
-                    os.path.join(self.data_dir, f), 65, 65, cur)
+                try:
+                    p, rows, max_idx = read_patch_file(
+                        os.path.join(self.data_dir, f), 65, 65, cur)
+                except Exception:
+                    # Skip unreadable sheets, like the reference
+                    # (dataset.py:78-81).
+                    continue
                 cur = max_idx + 1
                 patches.append(p)
                 idxs.extend(rows)

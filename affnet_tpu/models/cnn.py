@@ -98,7 +98,12 @@ Spec = Tuple[Layer, ...]
 
 def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
            compute_dtype=None) -> Array:
-    """x NHWC, w HWIO; pad is an int (symmetric zeros) or 'VALID'.
+    """x NCHW, w HWIO (stored layout; transposed to OIHW at trace time);
+    pad is an int (symmetric zeros) or 'VALID'.
+
+    NCHW internally: on this TPU stack the NHWC conv BACKWARD takes ~150 s
+    PER CONV to compile (measured; NCHW: 1.6 s), so the whole CNN path runs
+    channels-first.
 
     ``compute_dtype`` (e.g. jnp.bfloat16) casts the conv INPUTS only — the
     MXU accumulates and returns float32 (explicit-dtype speed policy; see
@@ -112,27 +117,30 @@ def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x, jnp.transpose(w, (3, 2, 0, 1)),
+        window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=out_dtype)
     if b is not None:
-        y = y + b
+        y = y + b[None, :, None, None]
     return y
 
 
 def batchnorm_eval(x: Array, mean: Array, var: Array) -> Array:
+    """x NCHW; stats per channel."""
     inv = jax.lax.rsqrt(var + BN_EPS)
-    return (x - mean) * inv
+    return (x - mean[None, :, None, None]) * inv[None, :, None, None]
 
 
 def batchnorm_train(x: Array, mean: Array, var: Array):
-    """Returns (normalized, new_running_mean, new_running_var)."""
-    axes = (0, 1, 2)
+    """x NCHW.  Returns (normalized, new_running_mean, new_running_var)."""
+    axes = (0, 2, 3)
     m = jnp.mean(x, axes)
-    v = jnp.mean((x - m) ** 2, axes)               # biased, used to normalize
-    n = x.shape[0] * x.shape[1] * x.shape[2]
+    v = jnp.mean((x - m[None, :, None, None]) ** 2, axes)   # biased
+    n = x.shape[0] * x.shape[2] * x.shape[3]
     v_unbiased = v * n / max(n - 1, 1)
-    y = (x - m) * jax.lax.rsqrt(v + BN_EPS)
+    y = (x - m[None, :, None, None]) \
+        * jax.lax.rsqrt(v + BN_EPS)[None, :, None, None]
     new_mean = (1 - BN_MOMENTUM) * mean + BN_MOMENTUM * m
     new_var = (1 - BN_MOMENTUM) * var + BN_MOMENTUM * v_unbiased
     return y, new_mean, new_var
@@ -246,22 +254,26 @@ def apply_spec(spec: Spec, params: Params, x: Array, *,
                 keep = jax.random.bernoulli(sub, 1.0 - layer.p, x.shape)
                 x = jnp.where(keep, x / (1.0 - layer.p), 0.0)
         elif isinstance(layer, AvgPoolGlobal):
-            x = jnp.mean(x, axis=(1, 2), keepdims=True)
+            x = jnp.mean(x, axis=(2, 3), keepdims=True)
         elif isinstance(layer, MaxPool):
             pad = [(layer.pad, layer.pad), (layer.pad, layer.pad)]
             x = jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max,
-                (1, layer.k, layer.k, 1), (1, layer.stride, layer.stride, 1),
-                [(0, 0)] + pad + [(0, 0)])
+                (1, 1, layer.k, layer.k), (1, 1, layer.stride, layer.stride),
+                [(0, 0), (0, 0)] + pad)
         else:
             raise TypeError(f"Unknown layer {layer!r}")
     return x, new_params
 
 
-def as_nhwc(patches: Array) -> Array:
-    """(N, PS, PS) or (N, 1, PS, PS) -> (N, PS, PS, 1)."""
+def as_nchw(patches: Array) -> Array:
+    """(N, PS, PS) or (N, PS, PS, 1) -> (N, 1, PS, PS)."""
     if patches.ndim == 3:
-        return patches[..., None]
-    if patches.ndim == 4 and patches.shape[1] == 1:
-        return jnp.transpose(patches, (0, 2, 3, 1))
+        return patches[:, None, :, :]
+    if patches.ndim == 4 and patches.shape[-1] == 1:
+        return jnp.transpose(patches, (0, 3, 1, 2))
     return patches
+
+
+# Backwards-compat alias (activations are channels-first internally now).
+as_nhwc = as_nchw

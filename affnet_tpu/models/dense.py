@@ -22,15 +22,15 @@ Array = jax.Array
 
 def local_norm_2d(x: Array, kernel_size: int = 33, eps: float = 1e-10) -> Array:
     """33x33 windowed local contrast normalization, clamped to [-6, 6].
-    x: (N, H, W, 1).  Reference: architectures.py:21-31 (avg_pool over a
+    x: (N, 1, H, W).  Reference: architectures.py:21-31 (avg_pool over a
     reflect-padded map == box filter)."""
     pd = kernel_size // 2
     ones = (1.0 / (kernel_size * kernel_size))
 
     def box(v):
-        vp = jnp.pad(v, ((0, 0), (pd, pd), (pd, pd), (0, 0)), mode="reflect")
+        vp = jnp.pad(v, ((0, 0), (0, 0), (pd, pd), (pd, pd)), mode="reflect")
         return jax.lax.reduce_window(
-            vp, 0.0, jax.lax.add, (1, kernel_size, kernel_size, 1),
+            vp, 0.0, jax.lax.add, (1, 1, kernel_size, kernel_size),
             (1, 1, 1, 1), "VALID") * ones
 
     mean = box(x)
@@ -65,12 +65,14 @@ class AffNetFastFullConv:
     def __call__(self, params: Params, img: Array, **_) -> Array:
         if img.ndim == 2:
             img = img[None]
-        x = img[..., None]                                   # NHWC
-        n, h, w, _ = x.shape
+        x = img[:, None, :, :]                               # NCHW
+        n, _, h, w = x.shape
         x = local_norm_2d(x)
-        x = jnp.pad(x, ((0, 0), (14, 14), (14, 14), (0, 0)), mode="reflect")
-        ff, _ = apply_spec(self.spec, params, x)
-        xy = jnp.tanh(jax.image.resize(ff, (n, h, w, ff.shape[-1]), "bilinear"))
+        x = jnp.pad(x, ((0, 0), (0, 0), (14, 14), (14, 14)), mode="reflect")
+        ff, _ = apply_spec(self.spec, params, x)             # (N, 3, h', w')
+        ff = jnp.transpose(ff, (0, 2, 3, 1))
+        xy = jnp.tanh(jax.image.resize(ff, (n, h, w, ff.shape[-1]),
+                                       "bilinear"))
         a0bc = jnp.stack([1.0 + xy[..., 0], 0.0 * xy[..., 1],
                           xy[..., 1], 1.0 + xy[..., 2]], axis=-1)
         return rectify_up_is_up_dense(a0bc)

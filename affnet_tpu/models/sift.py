@@ -73,21 +73,25 @@ def sift_describe(patches: Array, patch_size: int = 65, num_ang_bins: int = 8,
     bo1 = jnp.mod(bo0 + 1, num_ang_bins)
     wo0 = (1.0 - wo1) * mag
     wo1 = wo1 * mag
-    # Soft-binned angular maps: (N, H, W, bins)
-    maps = (jax.nn.one_hot(bo0, num_ang_bins, dtype=patches.dtype) * wo0[..., None]
-            + jax.nn.one_hot(bo1, num_ang_bins, dtype=patches.dtype) * wo1[..., None])
+    # Soft-binned angular maps, channels-first: (N, bins, H, W).
+    # (NHWC conv backward compiles pathologically slowly on this TPU stack;
+    # see models/cnn.py — NCHW everywhere on differentiable paths.)
+    maps = (jax.nn.one_hot(bo0, num_ang_bins, dtype=patches.dtype,
+                           axis=1) * wo0[:, None]
+            + jax.nn.one_hot(bo1, num_ang_bins, dtype=patches.dtype,
+                             axis=1) * wo1[:, None])
     # Spatial pooling: depthwise conv (the same triangular kernel per
-    # angular bin; feature_group_count = num_ang_bins, HWIO with I=1).
+    # angular bin; feature_group_count = num_ang_bins, OIHW with I=1).
     pooled = jax.lax.conv_general_dilated(
         maps,
-        pk[:, :, None, None] * jnp.ones((1, 1, 1, num_ang_bins),
-                                        patches.dtype),
+        jnp.ones((num_ang_bins, 1, 1, 1), patches.dtype)
+        * pk[None, None, :, :],
         window_strides=(stride, stride), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=num_ang_bins)
     n = pooled.shape[0]
-    # torch layout: channels-major (bin, y, x) flatten — transpose to NCHW order.
-    flat = jnp.transpose(pooled, (0, 3, 1, 2)).reshape(n, -1)
+    # torch layout: channels-major (bin, y, x) flatten == NCHW flatten.
+    flat = pooled.reshape(n, -1)
     flat = l2norm(flat)
     flat = jnp.clip(flat, 0.0, clipval)
     return l2norm(flat)

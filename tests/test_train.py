@@ -81,7 +81,7 @@ class TestTrainStep:
         # monotonic on noise batches); same batch + same augmentation key =>
         # repeated steps must reduce it.
         cfg = TrainConfig(batch_size=16, n_pairs=100000, epochs=1,
-                          descriptor="pixels", loss="PosDist")
+                          descriptor="pixels", loss="PosDist", lr=0.001)
         step = jax.jit(make_affnet_train_step(
             AffNetFast, make_descriptor("pixels"), cfg))
         params = AffNetFast.init(jax.random.PRNGKey(0))
