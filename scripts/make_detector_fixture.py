@@ -34,12 +34,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 FIX = os.path.join(HERE, "..", "tests", "fixtures")
 
 
-def load_graf1(crop=None):
-    img = Image.open("/root/reference/test-graf/img1.png").convert("RGB")
+def load_graf(idx=1, crop=None):
+    img = Image.open(f"/root/reference/test-graf/img{idx}.png").convert("RGB")
     img = np.mean(np.array(img), axis=2).astype(np.float32)
     if crop:
         img = img[:crop[0], :crop[1]]
     return img
+
+
+load_graf1 = load_graf
 
 
 def make_affnet():
@@ -119,6 +122,16 @@ def main():
     patches = det2.extract_patches_from_pyr(
         torch.from_numpy(lafs2), PS=32).detach().numpy()
     out["desc_patches"] = patches[:, 0]
+
+    # 7. Second image (graf img6 crop), detection + AffNet shape — guards
+    # against overfitting parity to a single image.
+    img6 = load_graf(6, crop=(128, 152))
+    out["img6"] = img6
+    det6 = ScaleSpaceAffinePatchExtractor(
+        mrSize=5.192, num_features=40, border=5, num_Baum_iters=1, th=None,
+        AffNet=make_affnet())
+    lafs6, resp6 = run(img6, det6)
+    out["img6_lafs"], out["img6_resp"] = lafs6, resp6
 
     np.savez(os.path.join(FIX, "detector_golden.npz"), **out)
     for k, v in out.items():
