@@ -31,7 +31,7 @@ def main(argv=None):
                         help="evaluate every pair 1-2 .. 1-6 and summarize")
     parser.add_argument("--nfeats", type=int, default=3000)
     parser.add_argument("--descriptor", default="SIFT",
-                        choices=["SIFT", "HardNet", "pixels"])
+                        choices=["SIFT", "HardNet", "TFeat", "pixels"])
     parser.add_argument("--desc-weights", default=None)
     parser.add_argument("--shape", default="AffNetFast",
                         choices=["AffNetFast", "Baumberg", "none"])
@@ -75,15 +75,23 @@ def main(argv=None):
                                 f"H1to{args.img2_idx}p")).astype(np.float32)
 
     params = {}
+    if args.descriptor == "HardNet" and not args.desc_weights:
+        # HardNet++.pth is absent from the reference mount; never silently
+        # run random weights — use the shipped HardTFeat weights instead.
+        print("note: no --desc-weights for HardNet (HardNet++.pth is not in "
+              "the mount); using shipped HardTFeat weights instead")
+        args.descriptor = "TFeat"
     if args.descriptor == "SIFT":
         desc_net = SIFTNet(patch_size=32)
     elif args.descriptor == "HardNet":
         desc_net = HardNet
-        if args.desc_weights:
-            params["desc"] = load_params_npz(args.desc_weights)
-        else:
-            import jax
-            params["desc"] = HardNet.init(jax.random.PRNGKey(0))
+        params["desc"] = load_params_npz(args.desc_weights)
+    elif args.descriptor == "TFeat":
+        from ..models import HardTFeatNet
+        desc_net = HardTFeatNet
+        params["desc"] = (load_params_npz(args.desc_weights)
+                          if args.desc_weights
+                          else load_pretrained("HardTFeatNet"))
     else:
         class PixDesc:
             def __call__(self, p, patches, **_):

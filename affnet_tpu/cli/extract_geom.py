@@ -35,7 +35,10 @@ def main(argv=None):
     parser.add_argument("--desc-weights", default=None)
     parser.add_argument("--save-lafs", default=None)
     parser.add_argument("--save-descs", default=None)
-    parser.add_argument("--max-keypoints", type=int, default=8192)
+    parser.add_argument("--max-keypoints", type=int, default=8192,
+                        help="static cap on survivors in threshold mode; a "
+                             "warning is printed (with the true detected "
+                             "count) if it binds")
     args = parser.parse_args(argv)
 
     import jax

@@ -6,6 +6,12 @@ every NMS survivor is emitted; the nfeats argument selects top-k mode
 instead when --topk is passed).
 
 Usage: python -m affnet_tpu.cli.hesaffnet img.png out.txt [nfeats] [--topk]
+
+Bulk mode (TPU addition): pass several comma-separated same-size images plus
+--mesh N to shard them over an N-device mesh — one detector program per
+image, data-parallel over chips:
+       python -m affnet_tpu.cli.hesaffnet a.png,b.png,c.png out.txt --mesh 4
+writes out_0.txt, out_1.txt, out_2.txt.
 """
 
 from __future__ import annotations
@@ -32,8 +38,14 @@ def main(argv=None):
                              "CLI's th=-1 keep-all mode")
     parser.add_argument("--th", type=float, default=-1.0)
     parser.add_argument("--max-keypoints", type=int, default=16384,
-                        help="static cap on survivors in threshold mode")
+                        help="static cap on survivors in threshold mode; a "
+                             "warning is printed (with the true detected "
+                             "count) if it binds and output is truncated to "
+                             "the strongest keypoints")
     parser.add_argument("--do-ori", action="store_true")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="bulk mode: shard comma-separated input images "
+                             "over an N-device mesh")
     args = parser.parse_args(argv)
 
     from ..detector import DetectorConfig, ScaleSpaceAffinePatchExtractor
@@ -53,6 +65,33 @@ def main(argv=None):
         params["ori"] = load_pretrained("OriNetFast")
     det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
                                          ori_net=ori_net)
+
+    paths = args.input_image.split(",")
+    if args.mesh and len(paths) > 1:
+        import os
+        import jax.numpy as jnp
+        from ..parallel import make_mesh, make_sharded_image_pipeline
+        imgs = np.stack([load_gray(p) for p in paths])
+        mesh = make_mesh(args.mesh)
+        n = mesh.devices.size
+        pad = (-len(imgs)) % n
+        if pad:
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        fn = make_sharded_image_pipeline(det, imgs.shape[1], imgs.shape[2],
+                                         mesh, do_ori=args.do_ori,
+                                         describe=False)
+        out = fn(params, jnp.asarray(imgs))
+        base, ext = os.path.splitext(args.output_fname)
+        for i in range(len(paths)):
+            valid = np.asarray(out["valid"][i])
+            ells = np.asarray(lafs_to_ells(
+                np.asarray(out["lafs"][i])[valid]))
+            fname = f"{base}_{i}{ext}"
+            write_ells(fname, ells)
+            print(f"{len(ells)} affine regions -> {fname}")
+        return
+
+    img = load_gray(paths[0])
     out = det(img, params=params, do_ori=args.do_ori)
     ells = np.asarray(lafs_to_ells(out["lafs"]))
     write_ells(args.output_fname, ells)

@@ -37,13 +37,18 @@ def build_parser():
                    choices=["pixels", "SIFT", "HardNet", "TFeat"])
     p.add_argument("--desc-weights", default=None)
     p.add_argument("--loss", type=str, default="HardNet",
-                   choices=["HardNet", "HardNegC", "PosDist"])
+                   choices=["HardNet", "HardNegC", "PosDist",
+                            "random_sampling"])
     p.add_argument("--arch", type=str, default="AffNetFast")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the batch over N devices (0 = single device)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on offline synthetic pairs (no dataset needed)")
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--no-vis", action="store_true",
+                   help="skip per-epoch LAF overlay PNGs in the log dir "
+                        "(reference saves them every epoch, "
+                        "train_AffNet_test_on_graffity.py:290-309)")
     return p
 
 
@@ -56,10 +61,14 @@ def make_dataset(args):
             "/root/reference/test-graf/img1.png").convert("RGB")), axis=2)
         patches, labels = D.synthetic_pairs_from_image(
             img, n_classes=2048, views_per_class=4, seed=args.seed)
-        return D.PairDataset(patches, labels, n_pairs=args.n_pairs,
-                             batch_size=args.batch_size, seed=args.seed)
-    return D.TotalDatasetsLoader(args.dataroot, n_pairs=args.n_pairs,
-                                 batch_size=args.batch_size, seed=args.seed)
+    else:
+        patches, labels = D.load_total_datasets(args.dataroot)
+    # random_sampling needs explicit negatives -> triplet batches
+    # (reference TripletPhotoTour + loss_random_sampling).
+    cls = (D.TripletDataset if args.loss == "random_sampling"
+           else D.PairDataset)
+    return cls(patches, labels, args.n_pairs,
+               batch_size=args.batch_size, seed=args.seed)
 
 
 def main(argv=None):
@@ -110,10 +119,16 @@ def main(argv=None):
             ckpt = os.path.join(log_dir, f"checkpoint_{epoch}.npz")
             save_checkpoint(ckpt, params, epoch)
             print(f"[graf eval epoch {epoch}]")
-            eval_main(["--nfeats", "1000", "--img2-idx", "3",
-                       "--descriptor", "SIFT",
-                       "--shape-arch", args.arch,
-                       "--shape-weights", ckpt])
+            eval_argv = ["--nfeats", "1000", "--img2-idx", "3",
+                         "--descriptor", "SIFT",
+                         "--shape-arch", args.arch,
+                         "--shape-weights", ckpt]
+            if not args.no_vis:
+                # Per-epoch LAF overlays like the reference's test()
+                # (train_AffNet_test_on_graffity.py:290-309).
+                eval_argv += ["--save-vis",
+                              os.path.join(log_dir, f"vis_epoch_{epoch}")]
+            eval_main(eval_argv)
 
     dataset = make_dataset(args)
     train_loop(model, dataset, cfg, log_dir=log_dir,

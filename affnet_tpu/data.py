@@ -184,6 +184,43 @@ def generate_pairs(labels: np.ndarray, num_pairs: int, batch_size: int,
     return pairs
 
 
+def generate_triplets(labels: np.ndarray, num_triplets: int, batch_size: int,
+                      rng: np.random.RandomState) -> np.ndarray:
+    """Anchor/positive from one class, negative from a different class, with
+    per-batch-unique anchor classes (TripletPhotoTour.generate_pairs,
+    dataset.py:345-378).  Returns (num_triplets, 3) indices."""
+    indices: Dict[int, List[int]] = {}
+    for idx, lab in enumerate(labels):
+        indices.setdefault(int(lab), []).append(idx)
+    unique_labels = np.array([l for l, v in indices.items() if len(v) >= 2])
+    all_labels = np.array(sorted(indices.keys()))
+    n_classes = len(unique_labels)
+    triplets = np.zeros((num_triplets, 3), np.int64)
+    already = set()
+    for x in range(num_triplets):
+        if len(already) >= batch_size:
+            already = set()
+        c1 = unique_labels[rng.randint(0, n_classes)]
+        while c1 in already:
+            c1 = unique_labels[rng.randint(0, n_classes)]
+        already.add(c1)
+        c2 = all_labels[rng.randint(0, len(all_labels))]
+        while c1 == c2:
+            c2 = all_labels[rng.randint(0, len(all_labels))]
+        members = indices[int(c1)]
+        if len(members) == 2:   # reference's 2-member shortcut
+            n1, n2 = 0, 1
+        else:
+            n1 = rng.randint(0, len(members))
+            n2 = rng.randint(0, len(members))
+            while n1 == n2:
+                n2 = rng.randint(0, len(members))
+        negs = indices[int(c2)]
+        n3 = rng.randint(0, len(negs))
+        triplets[x] = (members[n1], members[n2], negs[n3])
+    return triplets
+
+
 class PairDataset:
     """Patch-pair dataset over (patches, labels) arrays with reference-style
     pair generation and fliprot augmentation.  Iterate with .batches()."""
@@ -219,28 +256,66 @@ class PairDataset:
             yield a, p
 
 
-class TotalDatasetsLoader(PairDataset):
+class TripletDataset:
+    """(anchor, positive, negative) batches for loss_random_sampling —
+    the reference's TripletPhotoTour with load_random_triplets=True
+    (dataset.py:292-419); fliprot is shared across the whole triplet
+    (dataset.py:396-411)."""
+
+    def __init__(self, patches: np.ndarray, labels: np.ndarray,
+                 n_triplets: int = 500000, batch_size: int = 128,
+                 fliprot: bool = True, seed: int = 0):
+        self.patches = patches
+        self.batch_size = batch_size
+        self.fliprot = fliprot
+        self.rng = np.random.RandomState(seed)
+        self.triplets = generate_triplets(labels, n_triplets, batch_size,
+                                          self.rng)
+
+    def __len__(self):
+        return len(self.triplets)
+
+    def batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        n = len(self.triplets)
+        for st in range(0, n - self.batch_size + 1, self.batch_size):
+            sel = self.triplets[st:st + self.batch_size]
+            out = [self.patches[sel[:, i]].astype(np.float32) / 255.0
+                   for i in range(3)]
+            if self.fliprot:
+                do_rot = self.rng.rand(len(out[0])) > 0.5
+                do_flip = self.rng.rand(len(out[0])) > 0.5
+                for i in range(3):
+                    out[i][do_rot] = np.swapaxes(out[i][do_rot], 1, 2)
+                    out[i][do_flip] = out[i][do_flip, :, ::-1]
+            yield tuple(out)
+
+
+def load_total_datasets(datasets_path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Concatenate every dataset cache in a directory, shifting labels
     (dataset.py:193-224).  Accepts .npz caches (ours) and legacy .pt
     (converted via a torch subprocess)."""
+    all_patches, all_labels = [], []
+    label_base = 0
+    for fname in sorted(os.listdir(datasets_path)):
+        path = os.path.join(datasets_path, fname)
+        if fname.endswith(".pt"):
+            path = convert_pt_cache(path)
+        elif not fname.endswith(".npz"):
+            continue
+        data = np.load(path)
+        all_patches.append(data["patches"])
+        labels = data["labels"].astype(np.int64)
+        all_labels.append(labels + label_base)
+        label_base = int(all_labels[-1].max()) + 1
+    return np.concatenate(all_patches), np.concatenate(all_labels)
+
+
+class TotalDatasetsLoader(PairDataset):
+    """Pair dataset over the concatenation of every cache in a directory."""
 
     def __init__(self, datasets_path: str, n_pairs: int = 500000,
                  batch_size: int = 128, fliprot: bool = True, seed: int = 0):
-        all_patches, all_labels = [], []
-        label_base = 0
-        for fname in sorted(os.listdir(datasets_path)):
-            path = os.path.join(datasets_path, fname)
-            if fname.endswith(".pt"):
-                path = convert_pt_cache(path)
-            elif not fname.endswith(".npz"):
-                continue
-            data = np.load(path)
-            all_patches.append(data["patches"])
-            labels = data["labels"].astype(np.int64)
-            all_labels.append(labels + label_base)
-            label_base = int(all_labels[-1].max()) + 1
-        patches = np.concatenate(all_patches)
-        labels = np.concatenate(all_labels)
+        patches, labels = load_total_datasets(datasets_path)
         super().__init__(patches, labels, n_pairs, batch_size, fliprot, seed)
 
 

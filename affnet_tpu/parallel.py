@@ -53,21 +53,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_train_step(step_fn: Callable, mesh: Mesh) -> Callable:
-    """Wrap a train step (state, (a, p), key, max_tilt) -> (state, metrics)
-    so the patch batch is sharded over the mesh and params/optimizer state
-    are replicated.  XLA inserts all collectives (GSPMD)."""
+    """Wrap a train step (state, batch, key, max_tilt) -> (state, metrics)
+    so the patch batch (a pair OR triplet tuple of (N, H, W) arrays) is
+    sharded over the mesh and params/optimizer state are replicated.  XLA
+    inserts all collectives (GSPMD)."""
     rep = replicated(mesh)
     bsh = NamedSharding(mesh, P(BATCH_AXIS, None, None))
 
     def constrained(state, batch, key, max_tilt=None):
-        a, p = batch
-        a = jax.lax.with_sharding_constraint(a, bsh)
-        p = jax.lax.with_sharding_constraint(p, bsh)
-        new_state, metrics = step_fn(state, (a, p), key, max_tilt)
+        batch = tuple(jax.lax.with_sharding_constraint(x, bsh)
+                      for x in batch)
+        new_state, metrics = step_fn(state, batch, key, max_tilt)
         return new_state, metrics
 
+    # `bsh` as the batch in_sharding is a pytree prefix: it applies to every
+    # leaf of the tuple, so pair AND triplet batches both shard.
     return jax.jit(constrained,
-                   in_shardings=(rep, (bsh, bsh), rep, None),
+                   in_shardings=(rep, bsh, rep, None),
                    out_shardings=(rep, rep),
                    static_argnums=(),
                    donate_argnums=(0,))
@@ -90,17 +92,16 @@ def shard_apply(net, mesh: Mesh) -> Callable:
 def make_sharded_image_pipeline(detector, h: int, w: int, mesh: Mesh,
                                 do_ori: bool = False, describe: bool = True):
     """Bulk extraction: a batch of same-shape images sharded over chips, each
-    running the full single-image program (throughput mode over ICI/DCN)."""
-    fn, _plan = detector.get_jitted(h, w, do_ori, describe)
-    # Re-trace the underlying computation vmapped over a batch of images.
-    raw, _ = detector._build(h, w, do_ori, describe)
+    running the full single-image program (throughput mode over ICI/DCN).
+    Returns jitted (params, imgs (B, H, W)) -> per-image stacked outputs;
+    B must be a multiple of the mesh size.  Used by the hesaffnet CLI's
+    multi-image mode (--mesh); equivalence vs per-image single-device runs is
+    tested on the 8-CPU mesh (tests/test_train.py)."""
+    raw, _plan = detector._build(h, w, do_ori, describe)
+    img_sh = NamedSharding(mesh, P(BATCH_AXIS, None, None))
 
     def batched(params, imgs):
-        imgs = jax.lax.with_sharding_constraint(
-            imgs, NamedSharding(mesh, P(BATCH_AXIS, None, None)))
+        imgs = jax.lax.with_sharding_constraint(imgs, img_sh)
         return jax.vmap(lambda im: raw(params, im))(imgs)
 
-    return jax.jit(batched,
-                   in_shardings=(replicated(mesh),
-                                 NamedSharding(mesh, P(BATCH_AXIS, None,
-                                                       None))))
+    return jax.jit(batched, in_shardings=(replicated(mesh), img_sh))

@@ -84,16 +84,26 @@ def init_momentum(params: Params) -> Params:
 
 
 def sgd_update(params: Params, grads: Params, momentum_buf: Params,
-               lr, cfg: TrainConfig):
+               lr, cfg: TrainConfig, step=1):
     """torch.optim.SGD(momentum=0.9, dampening=0.9, weight_decay=wd):
-      g <- g + wd * p;  buf <- m * buf + (1 - d) * g;  p <- p - lr * buf.
-    BN stat leaves are carried through untouched (their 'grads' are the new
-    running stats from the train-mode forward)."""
+      g <- g + wd * p
+      buf <- g                      on FIRST use (undamped; torch initializes
+                                    the momentum buffer with the raw gradient)
+      buf <- m * buf + (1 - d) * g  thereafter
+      p <- p - lr * buf.
+    ``step`` is the global step counter (0 on the first update); all params
+    receive grads every step here, so step==0 is exactly torch's per-param
+    first-use.  Golden-tested against a torch.optim.SGD subprocess run
+    (tests/fixtures/sgd_golden.npz).  BN stat leaves are carried through
+    untouched (their 'grads' are the new running stats from the train-mode
+    forward)."""
     mask = trainable_mask(params)
+    first = jnp.asarray(step) == 0
 
     def upd(p, g, buf, m):
         g = g + cfg.wd * p
-        new_buf = cfg.momentum * buf + (1.0 - cfg.dampening) * g
+        new_buf = jnp.where(first, g,
+                            cfg.momentum * buf + (1.0 - cfg.dampening) * g)
         new_p = p - lr * new_buf
         return jnp.where(m > 0, new_p, p), jnp.where(m > 0, new_buf, buf)
 
@@ -142,13 +152,17 @@ def make_descriptor(name: str, desc_params: Optional[Params] = None
 
 
 def apply_loss(name: str, desc_a: Array, desc_p: Array,
-               geom_dist=None) -> Array:
+               geom_dist=None, desc_n: Optional[Array] = None) -> Array:
     if name == "HardNet":
         return losses.loss_hardnet(desc_a, desc_p)
     if name == "HardNegC":
         return losses.loss_hardnegc(desc_a, desc_p)
     if name == "PosDist":
         return losses.descriptor_dist(desc_a, desc_p)
+    if name == "random_sampling":
+        assert desc_n is not None, \
+            "random_sampling needs triplet batches (TripletDataset)"
+        return losses.loss_random_sampling(desc_a, desc_p, desc_n)
     if name == "Geom":
         assert geom_dist is not None
         return geom_dist
@@ -176,13 +190,16 @@ jax.tree_util.register_pytree_node(
 
 
 def make_affnet_train_step(model, descriptor_fn, cfg: TrainConfig):
-    """Returns step(state, (data_a, data_p), key) -> (state, metrics).
-    data_*: (N, 64, 64) float in [0, 1]."""
+    """Returns step(state, batch, key) -> (state, metrics).
+    batch: (data_a, data_p) pairs or (data_a, data_p, data_n) triplets
+    (random_sampling loss); data_*: (N, 64, 64) float in [0, 1]."""
     shared_rot = "Rot" not in cfg.arch
     ps = cfg.patch_size
 
-    def loss_fn(params, data_a, data_p, key, max_tilt):
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+    def loss_fn(params, batch, key, max_tilt):
+        data_a, data_p = batch[0], batch[1]
+        data_n = batch[2] if len(batch) > 2 else None
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
         crop_a, full_a, rot_a, _ = augmentation.extract_random_laf(
             k1, data_a, math.pi, max_tilt, ps)
         rot_arg = rot_a if shared_rot else math.pi
@@ -196,18 +213,25 @@ def make_affnet_train_step(model, descriptor_fn, cfg: TrainConfig):
         patch_p = augmentation.warp_by_predicted_transform(full_p, A_p, ps)
         desc_a = descriptor_fn(patch_a)
         desc_p = descriptor_fn(patch_p)
+        desc_n = None
+        if data_n is not None:
+            # The negative is a different 3D point: its own random rotation.
+            crop_n, full_n, _, _ = augmentation.extract_random_laf(
+                k5, data_n, math.pi, max_tilt, ps)
+            A_n, np2 = model.apply_with_state(np2, crop_n, rng=k6)
+            patch_n = augmentation.warp_by_predicted_transform(full_n, A_n,
+                                                               ps)
+            desc_n = descriptor_fn(patch_n)
         descr_dist = losses.descriptor_dist(desc_a, desc_p)
-        loss = apply_loss(cfg.loss, desc_a, desc_p)
+        loss = apply_loss(cfg.loss, desc_a, desc_p, desc_n=desc_n)
         return loss, (descr_dist, np2)
 
     def step_fn(state: TrainState, batch, key, max_tilt):
-        data_a, data_p = batch
         (loss, (descr_dist, new_params)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, data_a, data_p, key,
-                                   max_tilt)
+            loss_fn, has_aux=True)(state.params, batch, key, max_tilt)
         lr = lr_at_step(state.step, cfg)
         params, momentum = sgd_update(state.params, grads, state.momentum,
-                                      lr, cfg)
+                                      lr, cfg, step=state.step)
         # Carry the BN running stats computed in the forward pass.
         mask = trainable_mask(params)
         params = jax.tree_util.tree_map(
@@ -271,7 +295,7 @@ def make_orinet_train_step(model, descriptor_fn, cfg: TrainConfig):
             loss_fn, has_aux=True)(state.params, data_a, data_p, key)
         lr = lr_at_step(state.step, cfg)
         params, momentum = sgd_update(state.params, grads, state.momentum,
-                                      lr, cfg)
+                                      lr, cfg, step=state.step)
         mask = trainable_mask(params)
         params = jax.tree_util.tree_map(
             lambda m, trained, stats: trained if m > 0 else stats,
@@ -334,10 +358,10 @@ def train_loop(model, dataset, cfg: TrainConfig, log_dir: str = "./logs",
     global_step = 0
     for epoch in range(start_epoch, start_epoch + cfg.epochs):
         max_tilt = tilt_for_epoch(epoch)
-        for i, (a, p) in enumerate(dataset.batches()):
+        for i, batch in enumerate(dataset.batches()):
             key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, (jnp.asarray(a), jnp.asarray(p)),
-                                     sub, max_tilt)
+            state, metrics = step_fn(
+                state, tuple(jnp.asarray(x) for x in batch), sub, max_tilt)
             if i % cfg.log_interval == 0:
                 print(f"epoch {epoch} step {i} "
                       f"loss {float(metrics['loss']):.4f} "

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Benchmark: full HesAffNet+HardNet pipeline throughput on one TPU chip.
+"""Benchmark: full HesAffNet+descriptor pipeline throughput on one TPU chip.
 
 Headline metric (BASELINE.md): keypoints/sec at 2000 regions per 1080p image
 through detect (top-k 2000) -> 1x AffNet shape iteration -> descriptor-patch
-extraction (PS=32) -> HardNet, end-to-end on device.
+extraction (PS=32) -> HardTFeat 128-D descriptor, end-to-end on device, with
+REAL shipped weights for both nets (no random-weight stand-ins).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is the speedup over the CPU-PyTorch reference pipeline measured
@@ -26,13 +27,12 @@ RUNS = 5
 
 
 def main():
-    import jax
     import jax.numpy as jnp
     from PIL import Image
 
     from affnet_tpu.detector import (DetectorConfig,
                                      ScaleSpaceAffinePatchExtractor)
-    from affnet_tpu.models import AffNetFast, HardNet
+    from affnet_tpu.models import AffNetFast, HardTFeatNet
     from affnet_tpu.models.convert import load_pretrained
 
     img = Image.open("/root/reference/test-graf/img1.png").convert("RGB")
@@ -41,10 +41,13 @@ def main():
 
     cfg = DetectorConfig(num_features=NFEATS, border=5, mr_size=5.192,
                          num_baum_iters=1, th=None, patch_size=32)
+    # Real shipped weights end-to-end: AffNet.pth shape net + HardTFeat.pth
+    # descriptor (the reference's HardNet++.pth is absent from the mount;
+    # HardTFeatNet is its shipped 128-D descriptor with committed weights).
     det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
-                                         desc_net=HardNet)
+                                         desc_net=HardTFeatNet)
     params = {"aff": load_pretrained("AffNetFast"),
-              "desc": HardNet.init(jax.random.PRNGKey(0))}
+              "desc": load_pretrained("HardTFeatNet")}
     fn, _plan = det.get_jitted(H, W, do_ori=False, describe=True)
     x = jnp.asarray(img)
 

@@ -42,25 +42,27 @@ class TestSchedules:
 
 
 class TestSGD:
-    def test_matches_torch_sgd_formula(self):
-        """One tiny quadratic: p=1.0, grad=2p; torch SGD(momentum .9,
-        dampening .9, wd .1) two steps computed by hand."""
+    def test_matches_torch_sgd_golden(self, fixtures_dir):
+        """3 torch.optim.SGD steps recorded by scripts/make_sgd_golden.py:
+        the first step must use the UNDAMPED gradient as the momentum buffer
+        (torch first-use semantics), subsequent steps the damped recurrence."""
         from affnet_tpu.train import sgd_update
-        cfg = TrainConfig(lr=0.1, wd=0.1, momentum=0.9, dampening=0.9)
-        params = {"layer0": {"w": jnp.asarray([1.0])}}
+        gold = np.load(os.path.join(fixtures_dir, "sgd_golden.npz"))
+        cfg = TrainConfig(lr=float(gold["lr"]), wd=float(gold["wd"]),
+                          momentum=float(gold["momentum"]),
+                          dampening=float(gold["dampening"]))
+        params = {"layer0": {"w": jnp.asarray(gold["w0"])}}
+        target = jnp.asarray(gold["target"])
         buf = init_momentum(params)
-        g = {"layer0": {"w": jnp.asarray([2.0])}}
-        p1, buf1 = sgd_update(params, g, buf, 0.1, cfg)
-        # g' = 2 + 0.1*1 = 2.1; buf = 0.1*2.1 = 0.21; p = 1 - 0.1*0.21
-        np.testing.assert_allclose(float(p1["layer0"]["w"][0]), 1 - 0.021,
-                                   rtol=1e-6)
-        np.testing.assert_allclose(float(buf1["layer0"]["w"][0]), 0.21,
-                                   rtol=1e-6)
-        p2, buf2 = sgd_update(p1, g, buf1, 0.1, cfg)
-        # g' = 2 + 0.1*0.979 = 2.0979; buf = 0.9*0.21 + 0.1*2.0979
-        expected_buf = 0.9 * 0.21 + 0.1 * 2.0979
-        np.testing.assert_allclose(float(buf2["layer0"]["w"][0]),
-                                   expected_buf, rtol=1e-5)
+        for step in range(gold["params"].shape[0]):
+            g = {"layer0": {"w": 2.0 * (params["layer0"]["w"] - target)}}
+            params, buf = sgd_update(params, g, buf, cfg.lr, cfg, step=step)
+            np.testing.assert_allclose(np.asarray(params["layer0"]["w"]),
+                                       gold["params"][step], rtol=1e-5,
+                                       atol=1e-7)
+            np.testing.assert_allclose(np.asarray(buf["layer0"]["w"]),
+                                       gold["momentum_buffers"][step],
+                                       rtol=1e-5, atol=1e-7)
 
     def test_bn_stats_not_touched_by_sgd(self):
         from affnet_tpu.train import sgd_update
@@ -79,9 +81,10 @@ class TestTrainStep:
     def test_affnet_step_reduces_loss(self):
         # PosDist is a plain descent objective (hard-negative losses are not
         # monotonic on noise batches); same batch + same augmentation key =>
-        # repeated steps must reduce it.
+        # repeated steps must reduce it.  lr small enough that the torch-style
+        # UNDAMPED first momentum step doesn't overshoot.
         cfg = TrainConfig(batch_size=16, n_pairs=100000, epochs=1,
-                          descriptor="pixels", loss="PosDist", lr=0.001)
+                          descriptor="pixels", loss="PosDist", lr=5e-5)
         step = jax.jit(make_affnet_train_step(
             AffNetFast, make_descriptor("pixels"), cfg))
         params = AffNetFast.init(jax.random.PRNGKey(0))
@@ -97,6 +100,27 @@ class TestTrainStep:
         # BN stats moved.
         assert not np.allclose(np.asarray(state.params["layer1"]["mean"]),
                                np.asarray(params["layer1"]["mean"]))
+
+    def test_random_sampling_triplet_step(self):
+        """--loss random_sampling must be reachable end-to-end: triplet
+        batches from TripletDataset through the train step."""
+        cfg = TrainConfig(batch_size=8, n_pairs=10000, epochs=1,
+                          descriptor="pixels", loss="random_sampling")
+        step = jax.jit(make_affnet_train_step(
+            AffNetFast, make_descriptor("pixels"), cfg))
+        params = AffNetFast.init(jax.random.PRNGKey(0))
+        state = TrainState(params, init_momentum(params),
+                           jnp.asarray(0, jnp.int32))
+        rng = np.random.RandomState(4)
+        patches = (rng.rand(80, 64, 64) * 255).astype(np.uint8)
+        labels = np.repeat(np.arange(20), 4)
+        ds = data_mod.TripletDataset(patches, labels, n_triplets=16,
+                                     batch_size=8)
+        for batch in ds.batches():
+            assert len(batch) == 3
+            state, m = step(state, tuple(jnp.asarray(x) for x in batch),
+                            jax.random.PRNGKey(0), 3.0)
+            assert np.isfinite(float(m["loss"]))
 
     def test_orinet_step_runs(self):
         cfg = TrainConfig(batch_size=8, n_pairs=10000, epochs=1,
@@ -144,6 +168,29 @@ class TestParallel:
         np.testing.assert_allclose(float(m_shard["loss"]),
                                    float(m_single["loss"]), rtol=1e-4)
 
+    def test_sharded_image_pipeline_matches_per_image(self):
+        """Bulk extraction over the 8-CPU mesh == per-image single-device
+        runs (same valid sets, same LAFs)."""
+        from affnet_tpu.detector import (DetectorConfig,
+                                         ScaleSpaceAffinePatchExtractor)
+        from affnet_tpu.parallel import make_sharded_image_pipeline
+        rng = np.random.RandomState(0)
+        imgs = (rng.rand(8, 64, 96) * 255).astype(np.float32)
+        cfg = DetectorConfig(num_features=32, border=5, mr_size=5.192,
+                             num_baum_iters=0, th=None)
+        det = ScaleSpaceAffinePatchExtractor(cfg)
+        mesh = make_mesh(8, devices=jax.devices("cpu"))
+        fn = make_sharded_image_pipeline(det, 64, 96, mesh, do_ori=False,
+                                         describe=False)
+        out = fn({}, jnp.asarray(imgs))
+        for i in (0, 3, 7):
+            single = det(imgs[i], params={}, do_ori=False, describe=False,
+                         reference_order=False)
+            valid = np.asarray(out["valid"][i])
+            np.testing.assert_array_equal(valid.sum(), len(single["lafs"]))
+            np.testing.assert_allclose(np.asarray(out["lafs"][i])[valid],
+                                       single["lafs"], atol=1e-4)
+
     def test_shard_apply(self):
         mesh = make_mesh(8, devices=jax.devices("cpu"))
         params = AffNetFast.init(jax.random.PRNGKey(0))
@@ -165,6 +212,19 @@ class TestData:
         # per-batch-unique classes
         for st in range(0, 200 - 16, 16):
             cls = labels[pairs[st:st + 16, 0]]
+            assert len(set(cls.tolist())) == 16
+
+    def test_generate_triplets_semantics(self):
+        """anchor/pos share a class, neg differs; per-batch-unique anchor
+        classes (reference TripletPhotoTour.generate_pairs)."""
+        rng = np.random.RandomState(0)
+        labels = np.repeat(np.arange(40), 3)
+        tr = data_mod.generate_triplets(labels, 160, 16, rng)
+        assert (labels[tr[:, 0]] == labels[tr[:, 1]]).all()
+        assert (tr[:, 0] != tr[:, 1]).all()
+        assert (labels[tr[:, 0]] != labels[tr[:, 2]]).all()
+        for st in range(0, 160 - 16, 16):
+            cls = labels[tr[st:st + 16, 0]]
             assert len(set(cls.tolist())) == 16
 
     def test_pair_dataset_batches(self):
