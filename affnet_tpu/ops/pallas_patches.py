@@ -1,0 +1,345 @@
+"""Pallas TPU bilinear patch sampler: gather-as-matmul over windowed DMA.
+
+Replaces the scattered 4x ``jnp.take`` bilinear gather
+(ops/patches.py:_bilinear_window_sample_vec) for the pyramid patch-extraction
+hot path (reference: LAF.py:364-390).  The XLA gather costs ~6.6 ns per
+corner fetch regardless of locality (measured; see CLAUDE.md) and dominated
+~45% of the pipeline.  This kernel exploits the spatial coherence of a patch:
+
+  1. Per patch, a small window of the row-padded pyramid buffer around the
+     patch's sample extent is copied HBM->VMEM with ONE manually issued,
+     double-buffered strided DMA (origins are element-granular, quantized
+     only to the (8, 128) VMEM tile).  An earlier variant fetched each
+     window as a kr x kc grid of BlockSpec blocks; at ~0.5 us per DMA issue
+     the 24 blocks/window made DMA issue the bottleneck (measured 22 ms for
+     2000 windows vs ~1 ms single-DMA).
+  2. Bilinear sampling becomes dense MXU math instead of scattered loads:
+     for sample s at (u_s, v_s),
+
+        patch[s] = sum_{r,c} R[s,r] * C[s,c] * win[r,c]
+
+     with R[s,r] = max(0, 1 - |r - v_s|) * (r in level rows)   (tent = exact
+     bilinear row weight), C likewise over columns.  Computed as one
+     (S, RW) @ (RW, CW) matmul + a (S, CW) weighted row-reduce, all f32.
+     Zero-padding semantics ("out-of-bounds corners contribute zero",
+     torch grid_sample padding_mode='zeros') fold into the tent masks.
+
+Patches whose sample extent exceeds the static window (rare: the pyramid
+level selection bounds extents by ~PS * sigma) are recomputed exactly by the
+XLA gather path on a small fixed-size compacted batch and scattered back
+(``extract_patches_window_matmul``).
+
+Equivalence with the XLA path is exact up to f32 rounding of the bilinear
+fractions (the kernel computes them in window-local coordinates, the XLA
+path in absolute image coordinates); tested in interpret mode
+(tests/test_pallas_patches.py) plus the detector golden tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .patches import _bilinear_window_sample_vec
+
+Array = jax.Array
+
+# Window-origin quantization: one VMEM tile (f32) — keeps the strided DMA
+# aligned without meaningfully shrinking the usable window.
+QR = 8
+QC = 128
+
+# Run the kernel through the interpreter (tests on the CPU backend set this
+# via conftest, like ops/pallas_detect.INTERPRET).
+INTERPRET = False
+
+META_W = 10  # per-patch parameter row width (9 used, padded even)
+
+# Patches per pallas_call: the scalar-prefetch tables live in SMEM (~1 MB),
+# so large LAF sets (threshold mode caps at 16384) are processed in groups.
+MAX_PATCHES_PER_CALL = 4096
+
+
+def _grid_coeff(ps: int, align_corners: bool) -> Tuple[float, float]:
+    """lin(t) = a*t + b of the affine_grid base coordinates (patches._base_grid)."""
+    if align_corners:
+        return 2.0 / (ps - 1), -1.0
+    return 2.0 / ps, 1.0 / ps - 1.0
+
+
+def _chunking(ps: int, chunk_samples: int) -> Tuple[int, int, int]:
+    """(chunk, n_chunks, padded sample count): samples are processed in
+    chunks of <= chunk_samples to bound VMEM transients (the tent matrices
+    are (chunk, RW/CW)), and the output is padded to whole chunks so every
+    store is a full aligned slice.  One full-size chunk (the default) is
+    fastest — the chunk fori_loop costs ~1.5 us per iteration, which at
+    8 patches x 4 chunks x 250 grid steps dominated the kernel — so only
+    chunk when the window is large enough to threaten VMEM."""
+    s = ps * ps
+    sc = min(-(-s // 8) * 8, chunk_samples)
+    n_chunks = -(-s // sc)
+    return sc, n_chunks, sc * n_chunks
+
+
+def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
+                    *, ps: int, p: int, rw: int, cw: int, n_steps: int,
+                    chunk_samples: int, ga: float, gb: float):
+    """Grid step = P patches.  blk/meta are scalar-prefetch (SMEM) tables:
+    per-patch window origins (element-granular) and sampling parameters.
+    buf_ref stays in HBM; windows are copied into the (2, P, RW, CW) VMEM
+    scratch with double-buffered strided DMAs — windows for step i+1 are in
+    flight while step i computes."""
+    i = pl.program_id(0)
+    sc, n_chunks, _ = _chunking(ps, chunk_samples)
+
+    def dma(step, slot, q):
+        # Origins are quantized to the (QR, QC) tile by the wrapper; the
+        # multiple_of hints let Mosaic slice the tiled HBM memref.
+        r0 = pl.multiple_of(blk_ref[(step * p + q) * 2], QR)
+        c0 = pl.multiple_of(blk_ref[(step * p + q) * 2 + 1], QC)
+        return pltpu.make_async_copy(
+            buf_ref.at[pl.ds(r0, rw), pl.ds(c0, cw)],
+            win_ref.at[slot, q], sem_ref.at[slot, q])
+
+    @pl.when(i == 0)
+    def _():
+        for q in range(p):
+            dma(0, 0, q).start()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        for q in range(p):
+            dma(i + 1, (i + 1) % 2, q).start()
+
+    slot = i % 2
+
+    # Static per-sample base-grid ids as (chunk, 1)/(chunk, RW/CW) vectors.
+    # (Mosaic iota is integer-only; cast to f32 afterwards.)
+    sid_i = jax.lax.broadcasted_iota(jnp.int32, (sc, 1), 0)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (sc, rw), 1) \
+        .astype(jnp.float32)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (sc, cw), 1) \
+        .astype(jnp.float32)
+
+    for q in range(p):
+        dma(i, slot, q).wait()
+        window = win_ref[slot, q]                        # (RW, CW)
+
+        base = (i * p + q) * META_W
+        b11 = meta_ref[base + 0]
+        b12 = meta_ref[base + 1]
+        b21 = meta_ref[base + 2]
+        b22 = meta_ref[base + 3]
+        u0 = meta_ref[base + 4]
+        v0 = meta_ref[base + 5]
+        xhi = meta_ref[base + 6]
+        ylo = meta_ref[base + 7]
+        yhi = meta_ref[base + 8]
+
+        def chunk_body(ck, _):
+            # fori_loop (not unrolled) so the chunk transients are a single
+            # reused buffer set — unrolling all P*n_chunks bodies spills VMEM.
+            sid = sid_i + ck * sc
+            i_f = (sid // ps).astype(jnp.float32)
+            j_f = (sid % ps).astype(jnp.float32)
+            gx = ga * j_f + gb                           # (chunk, 1)
+            gy = ga * i_f + gb
+            u = b11 * gx + b12 * gy + u0                 # window-local cols
+            v = b21 * gx + b22 * gy + v0                 # window-local rows
+
+            rw_t = jnp.maximum(0.0, 1.0 - jnp.abs(r_ids - v))
+            rw_t = jnp.where((r_ids >= ylo) & (r_ids <= yhi), rw_t, 0.0)
+            cw_t = jnp.maximum(0.0, 1.0 - jnp.abs(c_ids - u))
+            cw_t = jnp.where(c_ids <= xhi, cw_t, 0.0)
+
+            g = jnp.dot(rw_t, window, preferred_element_type=jnp.float32)
+            out_ref[q, pl.ds(ck * sc, sc)] = jnp.sum(g * cw_t, axis=1)
+            return 0
+
+        if n_chunks == 1:
+            chunk_body(0, 0)
+        else:
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ps", "align_corners", "window_rows", "window_cols", "patches_per_step",
+    "fallback_slots", "chunk_samples", "interpret"))
+def extract_patches_window_matmul(buf2d: Array, lafs: Array,
+                                  level_idx: Array, row_offsets: Array,
+                                  heights: Array, widths: Array,
+                                  ps: int = 32, align_corners: bool = False,
+                                  window_rows: int = 160,
+                                  window_cols: int = 256,
+                                  patches_per_step: int = 8,
+                                  fallback_slots: int = 32,
+                                  chunk_samples: int = 1024,
+                                  interpret: bool | None = None) -> Array:
+    """Drop-in replacement for patches.extract_patches_from_flat_pyramid."""
+    if interpret is None:
+        interpret = INTERPRET
+    n = lafs.shape[0]
+    # The output block is (p, ps*ps); Mosaic requires the sublane dimension
+    # to be a multiple of 8.
+    p = -(-patches_per_step // 8) * 8
+    dt = jnp.float32
+
+    # Pad the buffer to whole origin quanta so every window is in bounds
+    # after clamping (OOB reads are undefined — NaN in interpret mode — and
+    # 0 * NaN != 0 in the tent masks).
+    rows_pad = -(-buf2d.shape[0] // QR) * QR
+    cols_pad = -(-buf2d.shape[1] // QC) * QC
+    rw = min(window_rows, rows_pad)
+    cw = min(window_cols, cols_pad)
+    if (rows_pad, cols_pad) != buf2d.shape:
+        buf2d = jnp.pad(buf2d, ((0, rows_pad - buf2d.shape[0]),
+                                (0, cols_pad - buf2d.shape[1])))
+
+    h_l = heights[level_idx].astype(dt)
+    w_l = widths[level_idx].astype(dt)
+    roff = row_offsets[level_idx].astype(dt)
+    m = jnp.minimum(h_l, w_l)
+    A = lafs[:, :2, :2].astype(dt)
+    tx = lafs[:, 0, 2].astype(dt)
+    ty = lafs[:, 1, 2].astype(dt)
+
+    if align_corners:
+        su = (w_l - 1.0) / w_l
+        sv = (h_l - 1.0) / h_l
+        cu = jnp.zeros_like(su)
+    else:
+        su = jnp.ones_like(w_l)
+        sv = jnp.ones_like(h_l)
+        cu = jnp.full_like(su, -0.5)
+    b11 = m * A[:, 0, 0] * su
+    b12 = m * A[:, 0, 1] * su
+    b21 = m * A[:, 1, 0] * sv
+    b22 = m * A[:, 1, 1] * sv
+    u0 = w_l * tx * su + cu                  # level coords
+    v0 = h_l * ty * sv + cu + roff           # buffer-absolute rows
+
+    ga, gb = _grid_coeff(ps, align_corners)
+    gmax = max(abs(ga * (ps - 1) + gb), abs(gb))
+    eu = (jnp.abs(b11) + jnp.abs(b12)) * gmax
+    ev = (jnp.abs(b21) + jnp.abs(b22)) * gmax
+    u_lo, u_hi = u0 - eu, u0 + eu
+    v_lo, v_hi = v0 - ev, v0 + ev
+
+    safe = lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+    # Element-granular window origins, quantized to the VMEM tile and
+    # clamped in-bounds.  floor(u_lo) is the leftmost corner column that can
+    # carry weight; -1 leaves slack for the quantization floor.
+    c0 = jnp.clip((jnp.floor(safe(u_lo)).astype(jnp.int32) // QC) * QC,
+                  0, cols_pad - cw)
+    r0 = jnp.clip((jnp.floor(safe(v_lo)).astype(jnp.int32) // QR) * QR,
+                  0, rows_pad - rw)
+
+    # Coverage check on the corner pixels that can carry nonzero weight.
+    need_xhi = jnp.minimum(w_l - 1.0, jnp.floor(safe(u_hi)) + 1.0)
+    need_yhi = jnp.minimum(roff + h_l - 1.0, jnp.floor(safe(v_hi)) + 1.0)
+    fits = ((need_xhi <= c0.astype(dt) + (cw - 1))
+            & (need_yhi <= r0.astype(dt) + (rw - 1))
+            & jnp.isfinite(u_lo) & jnp.isfinite(v_lo))
+
+    meta = jnp.zeros((n, META_W), dt)
+    meta = meta.at[:, 0].set(safe(b11))
+    meta = meta.at[:, 1].set(safe(b12))
+    meta = meta.at[:, 2].set(safe(b21))
+    meta = meta.at[:, 3].set(safe(b22))
+    meta = meta.at[:, 4].set(safe(u0) - c0.astype(dt))
+    meta = meta.at[:, 5].set(safe(v0) - r0.astype(dt))
+    meta = meta.at[:, 6].set(w_l - 1.0 - c0.astype(dt))         # xhi
+    meta = meta.at[:, 7].set(roff - r0.astype(dt))              # ylo
+    meta = meta.at[:, 8].set(roff + h_l - 1.0 - r0.astype(dt))  # yhi
+
+    n_pad = -(-n // p) * p
+    if n_pad != n:
+        meta = jnp.pad(meta, ((0, n_pad - n), (0, 0)))
+        c0 = jnp.pad(c0, (0, n_pad - n))
+        r0 = jnp.pad(r0, (0, n_pad - n))
+    # Scalar-prefetch operands must be 1-D: 2-D SMEM arrays are lane-padded
+    # to 128 columns (a (2000, 2) table would occupy 1 MB of the 1 MB SMEM).
+    blk = jnp.stack([r0, c0], axis=1).reshape(-1)    # (n_pad*2,) int32
+    meta = meta.reshape(-1)                          # (n_pad*META_W,)
+
+    _, _, s_pad = _chunking(ps, chunk_samples)
+    group = min(n_pad, -(-MAX_PATCHES_PER_CALL // p) * p)
+    flats = []
+    for g0 in range(0, n_pad, group):
+        ng = min(group, n_pad - g0)
+        n_steps = ng // p
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # blk (window origins) + meta (params)
+            grid=(n_steps,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # buf in HBM
+            out_specs=pl.BlockSpec((p, s_pad), lambda i, blk_ref, meta_ref:
+                                   (i, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, p, rw, cw), dt),      # double-buffered windows
+                pltpu.SemaphoreType.DMA((2, p)),
+            ],
+        )
+        kernel = functools.partial(
+            _sampler_kernel, ps=ps, p=p, rw=rw, cw=cw, n_steps=n_steps,
+            chunk_samples=chunk_samples, ga=ga, gb=gb)
+        flats.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ng, s_pad), dt),
+            interpret=interpret,
+        )(blk[g0 * 2:(g0 + ng) * 2], meta[g0 * META_W:(g0 + ng) * META_W],
+          buf2d))
+    flat = jnp.concatenate(flats)[:n, :ps * ps] if len(flats) > 1 \
+        else flats[0][:n, :ps * ps]
+
+    patches = flat.reshape(n, ps, ps)
+
+    # Exact XLA recompute of the (rare) patches whose extent exceeds the
+    # window, scattered back over the kernel output.  Unused slots default to
+    # patch 0, whose recompute is identical — the scatter is then a no-op.
+    k = min(fallback_slots, n)
+    if k > 0:
+        miss = ~fits
+        rank = jnp.cumsum(miss.astype(jnp.int32)) - 1
+        slot = jnp.where(miss & (rank < k), rank, k)
+        idx_k = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
+        gx_t, gy_t = _patch_grid(ps, align_corners, dt)
+        lv = level_idx[idx_k]
+        hh = heights[lv].astype(dt)[:, None, None]
+        ww = widths[lv].astype(dt)[:, None, None]
+        mm = jnp.minimum(hh, ww)
+        Ak = lafs[idx_k].astype(dt)
+        xs = mm * (Ak[:, None, None, 0, 0] * gx_t
+                   + Ak[:, None, None, 0, 1] * gy_t) \
+            + ww * Ak[:, None, None, 0, 2]
+        ys = mm * (Ak[:, None, None, 1, 0] * gx_t
+                   + Ak[:, None, None, 1, 1] * gy_t) \
+            + hh * Ak[:, None, None, 1, 2]
+        if align_corners:
+            u = xs * (ww - 1.0) / ww
+            v = ys * (hh - 1.0) / hh
+        else:
+            u = xs - 0.5
+            v = ys - 0.5
+        ro = jnp.broadcast_to(row_offsets[lv][:, None, None], u.shape)
+        hi = jnp.broadcast_to(heights[lv][:, None, None], u.shape)
+        wi = jnp.broadcast_to(widths[lv][:, None, None], u.shape)
+        vals = _bilinear_window_sample_vec(
+            buf2d, ro.reshape(-1), hi.reshape(-1), wi.reshape(-1),
+            u.reshape(-1), v.reshape(-1)).reshape(k, ps, ps)
+        patches = patches.at[idx_k].set(vals)
+    return patches
+
+
+def _patch_grid(ps: int, align_corners: bool, dtype):
+    if align_corners:
+        lin = jnp.linspace(-1.0, 1.0, ps, dtype=dtype)
+    else:
+        lin = (2.0 * jnp.arange(ps, dtype=dtype) + 1.0) / ps - 1.0
+    return jnp.tile(lin[None, :], (ps, 1)), jnp.tile(lin[:, None], (1, ps))

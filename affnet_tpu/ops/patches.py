@@ -184,6 +184,44 @@ def extract_patches_batched(imgs: Array, lafs: Array, ps: int = 32,
     return flat.reshape(n, ps, ps)
 
 
+# Per-site window config for the Pallas gather-as-matmul sampler
+# (ops/pallas_patches.py), sized from measured sample-extent distributions on
+# the 1080p/2000-feature bench pipeline (scripts/measure_patch_extents.py):
+# shape-site extents <= 35 px, orientation <= 87 px, descriptor p90 = 202 px
+# with a ~7% tail up to 400 px that the XLA fallback recomputes exactly.
+PALLAS_SITES = {
+    "shape": dict(window_rows=48, window_cols=256, patches_per_step=8,
+                  fallback_slots=32),
+    "ori": dict(window_rows=96, window_cols=256, patches_per_step=8,
+                fallback_slots=32),
+    "desc": dict(window_rows=256, window_cols=384, patches_per_step=8,
+                 fallback_slots=192),
+}
+
+# Master switch for the Pallas sampler on the pyramid path.  Tests on the
+# CPU backend turn this off globally (interpret-mode one-hot matmuls at
+# 1080p are prohibitively slow) and exercise the kernel directly instead.
+USE_PALLAS = True
+
+
+def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
+                            row_offsets: Array, heights: Array,
+                            widths: Array, ps: int = 32,
+                            align_corners: bool = False,
+                            site: str = "desc") -> Array:
+    """Pyramid patch extraction: Pallas gather-as-matmul kernel when enabled,
+    else the XLA flat-gather path (both numerically equivalent; see
+    tests/test_pallas_patches.py)."""
+    if USE_PALLAS:
+        from .pallas_patches import extract_patches_window_matmul
+        return extract_patches_window_matmul(
+            buf2d, lafs, level_idx, row_offsets, heights, widths,
+            ps=ps, align_corners=align_corners, **PALLAS_SITES[site])
+    return extract_patches_from_flat_pyramid(
+        buf2d, lafs, level_idx, row_offsets, heights, widths,
+        ps=ps, align_corners=align_corners)
+
+
 def select_levels_for_lafs(dlafs: Array, sigma_pixdist_table: Array,
                            ps: int) -> Array:
     """Choose the flat pyramid level whose effective blur (sigma * pix_dist)

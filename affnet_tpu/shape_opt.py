@@ -117,3 +117,70 @@ class LAFShapeOptimizer:
                 float(frob_shape_diff(shapes[0], shapes[1])))
             hist["snn"].append(np.asarray(snn))
         return hist
+
+
+def save_history(hist: Dict[str, List], fname: str) -> None:
+    """Persist an optimize() history (reference: save_data,
+    optimization_script.py:181-187, pickle -> npz here)."""
+    np.savez(fname, lafs1=np.stack(hist["lafs1"]),
+             lafs2=np.stack(hist["lafs2"]),
+             loss=np.asarray(hist["loss"]),
+             shape_diff=np.asarray(hist["shape_diff"]),
+             snn=np.stack(hist["snn"]) if hist["snn"] else np.zeros(0))
+
+
+def load_history(fname: str) -> Dict[str, List]:
+    d = np.load(fname)
+    return {"lafs1": list(d["lafs1"]), "lafs2": list(d["lafs2"]),
+            "loss": list(d["loss"]), "shape_diff": list(d["shape_diff"]),
+            "snn": list(d["snn"])}
+
+
+def render_history(hist: Dict[str, List], img, fname: str, fps: int = 24,
+                   dpi: int = 72) -> str:
+    """Animate the LAF-shape optimization: both views' ellipses (red/blue)
+    over the inverted image, one frame per iteration.
+
+    Reference: savemp4_per_desc (optimization_script.py:229-258,
+    FuncAnimation + ffmpeg).  Writes mp4 when an ffmpeg writer is available,
+    else an animated GIF via PillowWriter (no external binary needed).
+    Returns the path actually written.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter, writers
+
+    from .laf import convert_lafs_to_a23, laf_to_boundary_pts
+
+    img = np.asarray(img).squeeze()
+    fig, ax = plt.subplots()
+    fig.set_tight_layout(True)
+    ax.imshow(255 - img, cmap="gray")
+    n_frames = len(hist["lafs1"])
+
+    lines = {"1": [], "2": []}
+    for key, color in (("1", "r"), ("2", "b")):
+        for laf in convert_lafs_to_a23(hist[f"lafs{key}"][0]):
+            ell = laf_to_boundary_pts(laf)
+            lines[key].append(ax.plot(ell[:, 0], ell[:, 1], color)[0])
+    ax.legend([lines["1"][0], lines["2"][0]], ["img1", "img2"])
+
+    def update(i):
+        for key in ("1", "2"):
+            for line, laf in zip(lines[key],
+                                 convert_lafs_to_a23(hist[f"lafs{key}"][i])):
+                ell = laf_to_boundary_pts(laf)
+                line.set_data(ell[:, 0], ell[:, 1])
+        return lines["1"] + lines["2"]
+
+    anim = FuncAnimation(fig, update, frames=np.arange(n_frames),
+                         interval=int(1000 / fps))
+    if fname.endswith(".mp4") and not writers.is_available("ffmpeg"):
+        fname = fname[:-4] + ".gif"
+    if fname.endswith(".mp4"):
+        anim.save(fname, dpi=dpi, writer=writers["ffmpeg"](fps=fps))
+    else:
+        anim.save(fname, dpi=dpi, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return fname

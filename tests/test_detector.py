@@ -75,6 +75,26 @@ class TestDetectorParity:
                                    atol=0.1, rtol=1e-4)
         np.testing.assert_allclose(out["lafs"], golden["th_lafs"], atol=1e-2)
 
+    def test_threshold_mode_saturation_warns(self, golden, aff_params):
+        """When NMS survivors exceed the static cap, the true detected count
+        is reported and a truncation warning fires (VERDICT r1 item 7)."""
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             fused_detect=False, num_baum_iters=1, th=-1,
+                             max_keypoints=32)
+        det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast)
+        with pytest.warns(UserWarning, match="exceed the static cap"):
+            out = det(golden["img"], params={"aff": aff_params})
+        # n_detected counts NMS survivors BEFORE the shape-stage gates; the
+        # golden th set (cap 512, non-binding) is the post-gate survivor set.
+        assert out["n_detected"] > 32
+        assert out["n_detected"] >= len(golden["th_resp"])
+        assert len(out["resp"]) <= 32
+        # Every kept keypoint is a member of the uncapped reference output
+        # (tolerance-based: responses carry ~1e-4 relative fp noise).
+        rel = np.abs(out["resp"][:, None] - golden["th_resp"][None, :]) \
+            / (np.abs(out["resp"][:, None]) + 1e-6)
+        assert (rel.min(axis=1) < 1e-3).all()
+
     def test_handcrafted_baumberg(self, golden):
         """hesaffBaum config: 16 Baumberg iterations, handcrafted estimator."""
         cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192, fused_detect=False,

@@ -77,3 +77,30 @@ class TestShapeOptimizer:
         hist = opt.optimize(lafs1, lafs2, img, img, n_iters=12)
         assert hist["loss"][-1] < hist["loss"][0]
         assert hist["shape_diff"][-1] < hist["shape_diff"][0]
+
+    def test_history_save_load_render(self, golden, tmp_path):
+        """History persistence + animation rendering (reference:
+        optimization_script.py save_data/savemp4_per_desc)."""
+        from affnet_tpu.shape_opt import (load_history, render_history,
+                                          save_history)
+
+        img = golden["img"]
+        n, iters = 3, 2
+        rng = np.random.RandomState(1)
+        frames = []
+        for _ in range(iters + 1):
+            lafs = np.zeros((n, 2, 3), np.float32)
+            lafs[:, 0, 0] = lafs[:, 1, 1] = rng.uniform(8, 20, n)
+            lafs[:, 0, 2] = rng.uniform(40, 120, n)
+            lafs[:, 1, 2] = rng.uniform(40, 80, n)
+            frames.append(lafs)
+        hist = {"lafs1": frames, "lafs2": frames,
+                "loss": [1.0, 0.5], "shape_diff": [1.0, 0.6, 0.4],
+                "snn": [np.ones(n), np.ones(n)]}
+        f = str(tmp_path / "hist.npz")
+        save_history(hist, f)
+        loaded = load_history(f)
+        np.testing.assert_allclose(loaded["lafs1"][0], frames[0])
+        out = render_history(loaded, img, str(tmp_path / "opt.mp4"), fps=4)
+        import os
+        assert os.path.exists(out) and os.path.getsize(out) > 0

@@ -1,0 +1,127 @@
+"""Equivalence of the Pallas gather-as-matmul patch sampler with the XLA
+flat-gather path (interpret mode on the CPU backend)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from affnet_tpu.ops.patches import extract_patches_from_flat_pyramid
+from affnet_tpu.ops.pallas_patches import extract_patches_window_matmul
+
+
+def _fake_pyramid(rng, shapes):
+    """Row-padded buffer + level tables for a list of (h, w) level shapes."""
+    wmax = max(w for _, w in shapes)
+    rows = []
+    row_off = []
+    pos = 0
+    for h, w in shapes:
+        lvl = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        rows.append(np.pad(lvl, ((0, 0), (0, wmax - w))))
+        row_off.append(pos)
+        pos += h
+    buf = np.concatenate(rows, axis=0)
+    hs = np.array([h for h, _ in shapes], np.int32)
+    ws = np.array([w for _, w in shapes], np.int32)
+    return (jnp.asarray(buf), jnp.asarray(np.array(row_off, np.int32)),
+            jnp.asarray(hs), jnp.asarray(ws))
+
+
+def _random_lafs(rng, n, scale_range):
+    """Normalized LAFs: random affines (incl. rotation/elongation) at random
+    centers, some near/off the image border."""
+    ang = rng.uniform(0, 2 * np.pi, n)
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], 1)
+    elong = rng.uniform(0.5, 2.0, n)
+    diag = np.zeros((n, 2, 2), np.float32)
+    diag[:, 0, 0] = elong
+    diag[:, 1, 1] = 1.0 / elong
+    sc = rng.uniform(*scale_range, n)[:, None, None]
+    A = (rot @ diag) * sc
+    t = rng.uniform(-0.1, 1.1, (n, 2, 1))
+    return jnp.asarray(np.concatenate([A, t], axis=2).astype(np.float32))
+
+
+@pytest.mark.parametrize("ps,align", [(32, False), (19, False), (32, True)])
+def test_window_matmul_matches_xla(ps, align):
+    rng = np.random.RandomState(0)
+    shapes = [(100, 160), (50, 80), (25, 40), (13, 20)]
+    buf, offs, hs, ws = _fake_pyramid(rng, shapes)
+    n = 37
+    lafs = _random_lafs(rng, n, (0.02, 0.25))
+    lvl = jnp.asarray(rng.randint(0, len(shapes), n).astype(np.int32))
+
+    ref = extract_patches_from_flat_pyramid(buf, lafs, lvl, offs, hs, ws,
+                                            ps=ps, align_corners=align)
+    got = extract_patches_window_matmul(buf, lafs, lvl, offs, hs, ws,
+                                        ps=ps, align_corners=align,
+                                        window_rows=96, window_cols=256,
+                                        patches_per_step=4,
+                                        fallback_slots=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-3)
+
+
+def test_window_matmul_oversized_fallback():
+    """LAFs whose extent exceeds the window must be recomputed exactly."""
+    rng = np.random.RandomState(1)
+    shapes = [(120, 160), (60, 80)]
+    buf, offs, hs, ws = _fake_pyramid(rng, shapes)
+    # Half the LAFs span most of the image => extent >> window.
+    small = _random_lafs(rng, 8, (0.02, 0.1))
+    big = _random_lafs(rng, 8, (0.5, 0.9))
+    lafs = jnp.concatenate([small, big])
+    lvl = jnp.asarray(rng.randint(0, 2, 16).astype(np.int32))
+
+    ref = extract_patches_from_flat_pyramid(buf, lafs, lvl, offs, hs, ws,
+                                            ps=32)
+    got = extract_patches_window_matmul(buf, lafs, lvl, offs, hs, ws, ps=32,
+                                        window_rows=64, window_cols=128,
+                                        patches_per_step=4,
+                                        fallback_slots=12, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-3)
+
+
+def test_window_matmul_grouped_calls(monkeypatch):
+    """LAF sets above MAX_PATCHES_PER_CALL are processed in groups (the
+    scalar-prefetch tables must fit SMEM; threshold mode can reach 16384)."""
+    import affnet_tpu.ops.pallas_patches as pp
+    monkeypatch.setattr(pp, "MAX_PATCHES_PER_CALL", 16)
+    rng = np.random.RandomState(3)
+    shapes = [(100, 160), (50, 80)]
+    buf, offs, hs, ws = _fake_pyramid(rng, shapes)
+    n = 40
+    lafs = _random_lafs(rng, n, (0.02, 0.2))
+    lvl = jnp.asarray(rng.randint(0, 2, n).astype(np.int32))
+    ref = extract_patches_from_flat_pyramid(buf, lafs, lvl, offs, hs, ws,
+                                            ps=19)
+    got = extract_patches_window_matmul(buf, lafs, lvl, offs, hs, ws, ps=19,
+                                        window_rows=96, window_cols=256,
+                                        patches_per_step=8,
+                                        fallback_slots=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-3)
+
+
+def test_window_matmul_nonfinite_lafs_are_harmless():
+    """Padded/invalid LAF slots (NaN) must not corrupt valid patches."""
+    rng = np.random.RandomState(2)
+    shapes = [(64, 96)]
+    buf, offs, hs, ws = _fake_pyramid(rng, shapes)
+    lafs = np.array(_random_lafs(rng, 8, (0.05, 0.2)))
+    lafs[3] = np.nan
+    lafs = jnp.asarray(lafs)
+    lvl = jnp.zeros(8, jnp.int32)
+
+    ref = extract_patches_from_flat_pyramid(buf, lafs, lvl, offs, hs, ws,
+                                            ps=19)
+    got = extract_patches_window_matmul(buf, lafs, lvl, offs, hs, ws, ps=19,
+                                        window_rows=96, window_cols=128,
+                                        patches_per_step=4,
+                                        fallback_slots=4, interpret=True)
+    keep = np.array([i != 3 for i in range(8)])
+    np.testing.assert_allclose(np.asarray(got)[keep], np.asarray(ref)[keep],
+                               rtol=5e-5, atol=5e-3)
+    assert np.isfinite(np.asarray(got)[keep]).all()
