@@ -87,24 +87,34 @@ def _chunking(ps: int, chunk_samples: int) -> Tuple[int, int, int]:
 
 
 def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
-                    *, ps: int, p: int, rw: int, cw: int, n_steps: int,
-                    chunk_samples: int, ga: float, gb: float):
+                    *, ps: int, p: int, rw: int, cw: int, fetch_cols: int,
+                    n_steps: int, chunk_samples: int, ga: float, gb: float):
     """Grid step = P patches.  blk/meta are scalar-prefetch (SMEM) tables:
     per-patch window origins (element-granular) and sampling parameters.
-    buf_ref stays in HBM; windows are copied into the (2, P, RW, CW) VMEM
-    scratch with double-buffered strided DMAs — windows for step i+1 are in
-    flight while step i computes."""
+    buf_ref stays in HBM; windows are copied into the (2, P, RW, fetch_cols)
+    VMEM scratch with double-buffered DMAs — windows for step i+1 are in
+    flight while step i computes.
+
+    When ``fetch_cols`` equals the full buffer width, each window DMA is one
+    CONTIGUOUS HBM range (a band of whole rows) instead of RW strided row
+    segments — strided copies cost ~70 ns per segment, which made the
+    small-window sites DMA-bound — and the (RW, CW) compute window is sliced
+    out of VMEM at the 128-aligned per-patch column origin."""
     i = pl.program_id(0)
     sc, n_chunks, _ = _chunking(ps, chunk_samples)
+    full_rows = fetch_cols > cw
 
     def dma(step, slot, q):
         # Origins are quantized to the (QR, QC) tile by the wrapper; the
         # multiple_of hints let Mosaic slice the tiled HBM memref.
         r0 = pl.multiple_of(blk_ref[(step * p + q) * 2], QR)
-        c0 = pl.multiple_of(blk_ref[(step * p + q) * 2 + 1], QC)
-        return pltpu.make_async_copy(
-            buf_ref.at[pl.ds(r0, rw), pl.ds(c0, cw)],
-            win_ref.at[slot, q], sem_ref.at[slot, q])
+        if full_rows:
+            src = buf_ref.at[pl.ds(r0, rw), :]
+        else:
+            c0 = pl.multiple_of(blk_ref[(step * p + q) * 2 + 1], QC)
+            src = buf_ref.at[pl.ds(r0, rw), pl.ds(c0, cw)]
+        return pltpu.make_async_copy(src, win_ref.at[slot, q],
+                                     sem_ref.at[slot, q])
 
     @pl.when(i == 0)
     def _():
@@ -128,7 +138,11 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
 
     for q in range(p):
         dma(i, slot, q).wait()
-        window = win_ref[slot, q]                        # (RW, CW)
+        if full_rows:
+            c0 = pl.multiple_of(blk_ref[(i * p + q) * 2 + 1], QC)
+            window = win_ref[slot, q, :, pl.ds(c0, cw)]  # (RW, CW)
+        else:
+            window = win_ref[slot, q]                    # (RW, CW)
 
         base = (i * p + q) * META_W
         b11 = meta_ref[base + 0]
@@ -196,6 +210,13 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
     cols_pad = -(-buf2d.shape[1] // QC) * QC
     rw = min(window_rows, rows_pad)
     cw = min(window_cols, cols_pad)
+    # Fetch full-width row bands (one contiguous DMA per window instead of
+    # RW strided segments) whenever the double-buffered scratch fits VMEM.
+    p_eff = -(-patches_per_step // 8) * 8
+    if 2 * p_eff * rw * cols_pad * 4 <= 6 * 2 ** 20:
+        fetch_cols = cols_pad
+    else:
+        fetch_cols = cw
     if (rows_pad, cols_pad) != buf2d.shape:
         buf2d = jnp.pad(buf2d, ((0, rows_pad - buf2d.shape[0]),
                                 (0, cols_pad - buf2d.shape[1])))
@@ -280,13 +301,13 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
             out_specs=pl.BlockSpec((p, s_pad), lambda i, blk_ref, meta_ref:
                                    (i, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, p, rw, cw), dt),      # double-buffered windows
+                pltpu.VMEM((2, p, rw, fetch_cols), dt),  # 2x-buffered windows
                 pltpu.SemaphoreType.DMA((2, p)),
             ],
         )
         kernel = functools.partial(
-            _sampler_kernel, ps=ps, p=p, rw=rw, cw=cw, n_steps=n_steps,
-            chunk_samples=chunk_samples, ga=ga, gb=gb)
+            _sampler_kernel, ps=ps, p=p, rw=rw, cw=cw, fetch_cols=fetch_cols,
+            n_steps=n_steps, chunk_samples=chunk_samples, ga=ga, gb=gb)
         flats.append(pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
