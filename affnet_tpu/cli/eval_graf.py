@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--all", action="store_true",
                         help="evaluate every pair 1-2 .. 1-6 and summarize")
     parser.add_argument("--nfeats", type=int, default=3000)
+    parser.add_argument("--fast", action="store_true",
+                        help="bf16 gather/CNN fast mode (f32 detection; "
+                             "quality-neutral on graf, see README)")
     parser.add_argument("--descriptor", default="SIFT",
                         choices=["SIFT", "HardNet", "TFeat", "pixels"])
     parser.add_argument("--desc-weights", default=None)
@@ -123,7 +126,8 @@ def main(argv=None):
         params["ori"] = load_pretrained("OriNetFast")
 
     cfg = DetectorConfig(num_features=args.nfeats, border=5, mr_size=5.192,
-                         num_baum_iters=baum_iters, th=None, patch_size=32)
+                         num_baum_iters=baum_iters, th=None, patch_size=32,
+                         fast=args.fast)
     det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=shape_net,
                                          ori_net=ori_net, desc_net=desc_net)
 

@@ -68,6 +68,11 @@ class DetectorConfig:
     fused_detect: bool = True      # Pallas fused hessian+NMS+softargmax
                                    # (identical survivor sets; values differ
                                    # only by fp reassociation)
+    fast: bool = False             # bf16 patch-gather matmuls + bf16 CNN
+                                   # conv inputs (f32 accumulation, f32
+                                   # detection/selection: identical keypoint
+                                   # sets, ~1 grey-level patch noise;
+                                   # validated quality-neutral on graf)
 
     @property
     def threshold_mode(self) -> bool:
@@ -129,6 +134,13 @@ class ScaleSpaceAffinePatchExtractor:
             else OrientationDetector(patch_size=19)
         self.desc_net = desc_net
         self.resp_fn = resp_fn
+        if config.fast:
+            # bf16 conv inputs on the learned nets (f32 accumulation).
+            for attr in ("shape_net", "ori_net", "desc_net"):
+                net = getattr(self, attr)
+                if net is not None and hasattr(net, "with_dtype"):
+                    setattr(self, attr, net.with_dtype(jnp.bfloat16))
+        self._gather_dtype = jnp.bfloat16 if config.fast else None
         self._jitted: Dict[Tuple, Callable] = {}
 
     # ------------------------------------------------------------------
@@ -218,7 +230,7 @@ class ScaleSpaceAffinePatchExtractor:
             patches = extract_patches_pyramid(
                 cand["flat"], lafs_cur, cand["ext_level"], offs, hs, ws,
                 ps=self.shape_net.ps, align_corners=cfg.align_corners,
-                site="shape")
+                site="shape", mxu_dtype=self._gather_dtype)
             A = self.shape_net(params.get("aff"), patches)
             base_A = A @ base_A
             lafs_cur = jnp.concatenate(
@@ -257,7 +269,8 @@ class ScaleSpaceAffinePatchExtractor:
         offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
         patches = extract_patches_pyramid(
             cand["flat"], cand["lafs"], cand["ext_level"], offs, hs, ws,
-            ps=self.ori_net.ps, align_corners=cfg.align_corners, site="ori")
+            ps=self.ori_net.ps, align_corners=cfg.align_corners,
+            site="ori", mxu_dtype=self._gather_dtype)
         rot = self.ori_net(params.get("ori"), patches, return_rot_matrix=True)
         lafs = jnp.concatenate(
             [cand["lafs"][:, :, :2] @ rot, cand["lafs"][:, :, 2:]], axis=2)
@@ -274,7 +287,8 @@ class ScaleSpaceAffinePatchExtractor:
         lvl = select_levels_for_lafs(dlafs, table, cfg.patch_size)
         patches = extract_patches_pyramid(
             cand["flat"], cand["lafs"], lvl, offs, hs, ws,
-            ps=cfg.patch_size, align_corners=cfg.align_corners, site="desc")
+            ps=cfg.patch_size, align_corners=cfg.align_corners,
+            site="desc", mxu_dtype=self._gather_dtype)
         descs = self.desc_net(params.get("desc"), patches)
         return patches, descs
 

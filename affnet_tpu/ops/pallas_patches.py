@@ -88,7 +88,8 @@ def _chunking(ps: int, chunk_samples: int) -> Tuple[int, int, int]:
 
 def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
                     *, ps: int, p: int, rw: int, cw: int, fetch_cols: int,
-                    n_steps: int, chunk_samples: int, ga: float, gb: float):
+                    n_steps: int, chunk_samples: int, ga: float, gb: float,
+                    mxu_dtype):
     """Grid step = P patches.  blk/meta are scalar-prefetch (SMEM) tables:
     per-patch window origins (element-granular) and sampling parameters.
     buf_ref stays in HBM; windows are copied into the (2, P, RW, fetch_cols)
@@ -171,7 +172,13 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
             cw_t = jnp.maximum(0.0, 1.0 - jnp.abs(c_ids - u))
             cw_t = jnp.where(c_ids <= xhi, cw_t, 0.0)
 
-            g = jnp.dot(rw_t, window, preferred_element_type=jnp.float32)
+            # mxu_dtype=bf16 runs the row-gather matmul at 4x MXU rate with
+            # f32 accumulation (fast mode: ~1 grey-level patch error).
+            # precision=DEFAULT overrides the package-wide f32 matmul
+            # precision, which Mosaic rejects for bf16 operands.
+            g = jnp.dot(rw_t.astype(mxu_dtype), window.astype(mxu_dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
             out_ref[q, pl.ds(ck * sc, sc)] = jnp.sum(g * cw_t, axis=1)
             return 0
 
@@ -183,7 +190,7 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "ps", "align_corners", "window_rows", "window_cols", "patches_per_step",
-    "fallback_slots", "chunk_samples", "interpret"))
+    "fallback_slots", "chunk_samples", "mxu_dtype", "interpret"))
 def extract_patches_window_matmul(buf2d: Array, lafs: Array,
                                   level_idx: Array, row_offsets: Array,
                                   heights: Array, widths: Array,
@@ -193,6 +200,7 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
                                   patches_per_step: int = 8,
                                   fallback_slots: int = 32,
                                   chunk_samples: int = 1024,
+                                  mxu_dtype=jnp.float32,
                                   interpret: bool | None = None) -> Array:
     """Drop-in replacement for patches.extract_patches_from_flat_pyramid."""
     if interpret is None:
@@ -307,7 +315,8 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
         )
         kernel = functools.partial(
             _sampler_kernel, ps=ps, p=p, rw=rw, cw=cw, fetch_cols=fetch_cols,
-            n_steps=n_steps, chunk_samples=chunk_samples, ga=ga, gb=gb)
+            n_steps=n_steps, chunk_samples=chunk_samples, ga=ga, gb=gb,
+            mxu_dtype=mxu_dtype)
         flats.append(pl.pallas_call(
             kernel,
             grid_spec=grid_spec,

@@ -208,15 +208,18 @@ def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
                             row_offsets: Array, heights: Array,
                             widths: Array, ps: int = 32,
                             align_corners: bool = False,
-                            site: str = "desc") -> Array:
+                            site: str = "desc",
+                            mxu_dtype=None) -> Array:
     """Pyramid patch extraction: Pallas gather-as-matmul kernel when enabled,
     else the XLA flat-gather path (both numerically equivalent; see
-    tests/test_pallas_patches.py)."""
+    tests/test_pallas_patches.py).  ``mxu_dtype=jnp.bfloat16`` selects the
+    fast-mode sampler (4x MXU rate, ~1 grey-level patch error)."""
     if USE_PALLAS:
         from .pallas_patches import extract_patches_window_matmul
+        kw = {} if mxu_dtype is None else {"mxu_dtype": mxu_dtype}
         return extract_patches_window_matmul(
             buf2d, lafs, level_idx, row_offsets, heights, widths,
-            ps=ps, align_corners=align_corners, **PALLAS_SITES[site])
+            ps=ps, align_corners=align_corners, **PALLAS_SITES[site], **kw)
     return extract_patches_from_flat_pyramid(
         buf2d, lafs, level_idx, row_offsets, heights, widths,
         ps=ps, align_corners=align_corners)
