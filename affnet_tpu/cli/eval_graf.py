@@ -45,6 +45,10 @@ def main(argv=None):
                         help=".npz weights for the shape net (e.g. a "
                              "training checkpoint)")
     parser.add_argument("--do-ori", action="store_true")
+    parser.add_argument("--ori-weights", default=None,
+                        help="npz checkpoint for OriNetFast32 (default: the "
+                             "shipped OriNet.pth conversion); used by the "
+                             "OriNet trainer's per-epoch eval")
     parser.add_argument("--snn", type=float, default=0.8)
     parser.add_argument("--dist-th", type=float, default=6.0)
     parser.add_argument("--save-vis", default=None,
@@ -123,7 +127,11 @@ def main(argv=None):
     ori_net = None
     if args.do_ori:
         ori_net = OriNetFast32
-        params["ori"] = load_pretrained("OriNetFast")
+        if args.ori_weights:
+            from ..models.convert import load_params_npz
+            params["ori"] = load_params_npz(args.ori_weights)
+        else:
+            params["ori"] = load_pretrained("OriNetFast")
 
     cfg = DetectorConfig(num_features=args.nfeats, border=5, mr_size=5.192,
                          num_baum_iters=baum_iters, th=None, patch_size=32,

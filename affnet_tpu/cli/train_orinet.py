@@ -52,10 +52,29 @@ def main(argv=None):
         from ..parallel import make_mesh
         mesh = make_mesh(args.mesh)
 
+    eval_fn = None
+    if not args.no_eval:
+        def eval_fn(params, epoch):
+            # Per-epoch graf test with the shipped AffNet + the TRAINED
+            # OriNet injected (reference test(),
+            # train_OriNet_test_on_graffity.py:304-312).
+            from .eval_graf import main as eval_main
+            from ..train import save_checkpoint
+            ckpt = os.path.join(log_dir, f"checkpoint_{epoch}.npz")
+            save_checkpoint(ckpt, params, epoch)
+            print(f"[graf eval epoch {epoch}]")
+            eval_argv = ["--nfeats", "1000", "--img2-idx", "3",
+                         "--descriptor", "SIFT", "--do-ori",
+                         "--ori-weights", ckpt]
+            if not args.no_vis:
+                eval_argv += ["--save-vis",
+                              os.path.join(log_dir, f"vis_epoch_{epoch}")]
+            eval_main(eval_argv)
+
     dataset = make_dataset(args)
     train_loop(model, dataset, cfg, log_dir=log_dir,
                desc_params=desc_params, start_params=start_params,
-               start_epoch=start_epoch, mesh=mesh, ori=True)
+               start_epoch=start_epoch, mesh=mesh, ori=True, eval_fn=eval_fn)
 
 
 if __name__ == "__main__":

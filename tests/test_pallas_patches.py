@@ -2,6 +2,7 @@
 flat-gather path (interpret mode on the CPU backend)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -103,6 +104,42 @@ def test_window_matmul_grouped_calls(monkeypatch):
                                         fallback_slots=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-5, atol=5e-3)
+
+
+def test_window_matmul_bf16_fast_mode():
+    """bf16 gather matmuls (fast mode) stay within ~1 grey level of f32."""
+    rng = np.random.RandomState(4)
+    shapes = [(100, 160), (50, 80)]
+    buf, offs, hs, ws = _fake_pyramid(rng, shapes)
+    lafs = _random_lafs(rng, 16, (0.02, 0.2))
+    lvl = jnp.asarray(rng.randint(0, 2, 16).astype(np.int32))
+    ref = extract_patches_from_flat_pyramid(buf, lafs, lvl, offs, hs, ws,
+                                            ps=32)
+    got = extract_patches_window_matmul(buf, lafs, lvl, offs, hs, ws, ps=32,
+                                        window_rows=96, window_cols=256,
+                                        patches_per_step=8, fallback_slots=4,
+                                        mxu_dtype=jnp.bfloat16,
+                                        interpret=True)
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 2.5
+
+
+def test_masked_topk_approx_path_matches_exact_values():
+    """The large-input approx_max_k path must return the exact top-k VALUES
+    (and the identical index set when values are distinct)."""
+    from affnet_tpu.ops.nms import masked_topk
+
+    rng = np.random.RandomState(5)
+    n, k = (1 << 18) + 1024, 500   # above the approx-path threshold
+    v = np.zeros(n, np.float32)
+    idx = rng.choice(n, 5000, replace=False)
+    v[idx] = rng.exponential(10, 5000).astype(np.float32)
+    v = jnp.asarray(v)
+    vals, idxs, valid = masked_topk(v, k)
+    evals, eidxs = jax.lax.top_k(v, k)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(evals))
+    np.testing.assert_array_equal(np.sort(np.asarray(idxs)),
+                                  np.sort(np.asarray(eidxs)))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(vals) > 0)
 
 
 def test_window_matmul_nonfinite_lafs_are_harmless():
