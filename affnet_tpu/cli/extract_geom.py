@@ -33,6 +33,8 @@ def main(argv=None):
     parser.add_argument("--descriptor", default=None,
                         choices=[None, "SIFT", "HardNet"])
     parser.add_argument("--desc-weights", default=None)
+    parser.add_argument("--fast", action="store_true",
+                        help="bf16 gather/CNN fast mode (f32 detection)")
     parser.add_argument("--save-lafs", default=None)
     parser.add_argument("--save-descs", default=None)
     parser.add_argument("--max-keypoints", type=int, default=8192,
@@ -67,7 +69,8 @@ def main(argv=None):
 
     cfg = DetectorConfig(num_features=args.nfeats, border=15, mr_size=5.192,
                          num_baum_iters=0, th=args.th,
-                         max_keypoints=args.max_keypoints, patch_size=32)
+                         max_keypoints=args.max_keypoints, patch_size=32,
+                         fast=args.fast)
     det = OnePassSIR(cfg, ori_net=ori_net, desc_net=desc_net)
 
     t0 = time.time()

@@ -43,6 +43,9 @@ def main(argv=None):
                              "count) if it binds and output is truncated to "
                              "the strongest keypoints")
     parser.add_argument("--do-ori", action="store_true")
+    parser.add_argument("--fast", action="store_true",
+                        help="bf16 gather/CNN fast mode (f32 detection; "
+                             "quality-neutral on graf, see README)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="bulk mode: shard comma-separated input images "
                              "over an N-device mesh")
@@ -57,7 +60,8 @@ def main(argv=None):
     img = load_gray(args.input_image)
     cfg = DetectorConfig(
         num_features=args.nfeats, border=5, mr_size=5.192, num_baum_iters=1,
-        th=None if args.topk else args.th, max_keypoints=args.max_keypoints)
+        th=None if args.topk else args.th, max_keypoints=args.max_keypoints,
+        fast=args.fast)
     params = {"aff": load_pretrained("AffNetFast")}
     ori_net = None
     if args.do_ori:
