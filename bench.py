@@ -14,7 +14,6 @@ to 1920x1080, torch 2.13 CPU) => 118.4 keypoints/sec.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
