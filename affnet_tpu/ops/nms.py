@@ -176,6 +176,93 @@ def update_octave_map(octave_map: Array, nmsed: Array) -> Tuple[Array, Array]:
     return masked, new_map
 
 
+def _row_topm(x2d: Array, m: int) -> Tuple[Array, Array, Array]:
+    """Per-row top-m of (B, S) by m rounds of vectorized argmax-and-mask.
+    Among equal values the LOWEST column wins first (jnp.argmax picks the
+    first maximum), so extraction order matches a (value desc, index asc)
+    sort.  Returns (vals (B, m), cols (B, m), leftover_max (B,)) where
+    leftover_max is the (m+1)-th largest per row (-1 when the row is
+    exhausted)."""
+    b, s = x2d.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    cur = x2d
+    vals, cols = [], []
+    for _ in range(m):
+        amax = jnp.argmax(cur, axis=1)
+        vals.append(jnp.take_along_axis(cur, amax[:, None], axis=1)[:, 0])
+        cols.append(amax.astype(jnp.int32))
+        cur = jnp.where(col == amax[:, None], -1.0, cur)
+    return (jnp.stack(vals, 1), jnp.stack(cols, 1),
+            jnp.max(cur, axis=1))
+
+
+# Use the Pallas row-top-m kernel (ops/pallas_topk.py) inside
+# two-stage top-k on sufficiently large inputs; tests/conftest leaves this
+# on (the kernel runs interpreted on CPU) but the XLA extraction above is
+# the reference implementation.
+USE_PALLAS_TOPK = True
+
+# Row width and per-row candidate count of the two-stage top-k.  With
+# S=1024, a fallback to the full sort happens only when >M_CAND keypoints
+# of the global top-k live in the same 1024 contiguous flat pixels (one
+# image-row segment of one response map) — rare, detected exactly on
+# device, and then answered by the full sort, so the result is ALWAYS
+# bit-identical to lax.top_k.
+ROW_S = 1024
+M_CAND = 16
+
+
+def _two_stage_topk(values: Array, k: int) -> Tuple[Array, Array]:
+    """Exact top-k for large flat vectors: per-row top-m candidates, then a
+    two-key sort by (value desc, flat index asc) — the same tie semantics as
+    ``lax.top_k`` — with an on-device exactness check that falls back to the
+    full sort via ``lax.cond`` when any row's (m+1)-th value could reach the
+    k-th selected value.
+
+    The flat 8M-element sort (``lax.top_k`` ~18 ms) and the PartialReduce
+    custom call (``approx_max_k`` ~14 ms) were both ~300x off memory
+    bandwidth at 1080p; this pass is bandwidth-bound (one streaming read of
+    the response vector + O(B*m) sorting).
+
+    Identical to ``lax.top_k`` on every POSITIVE entry (values, indices,
+    order, ties).  When k exceeds the positive count, the zero tail may be
+    padded from different (equally invalid: ``vals > 0`` defines validity)
+    zero positions than lax.top_k's lowest-index zeros."""
+    n = values.shape[0]
+    b = -(-n // ROW_S)
+    pad = b * ROW_S - n
+    x2d = jnp.pad(values, (0, pad), constant_values=-1.0).reshape(b, ROW_S)
+    if USE_PALLAS_TOPK:
+        from .pallas_topk import row_topm_pallas
+        rv, rc, leftover = row_topm_pallas(x2d, M_CAND)
+    else:
+        rv, rc, leftover = _row_topm(x2d, M_CAND)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (b, M_CAND), 0)
+    flat_idx = jnp.minimum(row0 * ROW_S + rc, n - 1)
+
+    # Candidate order is (row asc, extraction order): within a row equal
+    # values are extracted lowest-column-first, and rows ascend in flat-index
+    # order, so lax.top_k's lowest-position tie rule over this array equals
+    # the (value desc, flat index asc) rule over the original vector.
+    cand_v = rv.reshape(-1)
+    cand_idx = flat_idx.reshape(-1)
+    top_v, pos = jax.lax.top_k(cand_v, k)
+    top_i = cand_idx[pos]
+    kth = top_v[k - 1]
+    # A row can hide values only if its leftover could tie/beat the k-th
+    # selected value; leftover <= 0 rows hide only padding/non-survivors.
+    ok = jnp.all((leftover < kth) | (leftover <= 0.0))
+
+    def exact(_):
+        return top_v, top_i
+
+    def full_sort(_):
+        v, i = jax.lax.top_k(values, k)
+        return v, i.astype(jnp.int32)
+
+    return jax.lax.cond(ok, exact, full_sort, None)
+
+
 def masked_topk(values: Array, k: int) -> Tuple[Array, Array, Array]:
     """Global top-k with validity mask: returns (vals, idxs, valid) where
     ``valid[i] = vals[i] > 0``.  Zero-response entries act as padding.
@@ -185,14 +272,13 @@ def masked_topk(values: Array, k: int) -> Tuple[Array, Array, Array]:
     element of the global top-k is necessarily in its own level's top-k, so a
     single global top-k selects the identical set.
 
-    For large inputs this uses ``lax.approx_max_k(recall_target=1.0)``, which
-    lowers to the TPU PartialReduce custom call — ~3x faster than the
-    sort-based ``lax.top_k`` at 8M elements (measured; it was ~18 ms of the
-    1080p pipeline).  The returned VALUES are exact; only the index order of
-    exactly-equal responses may differ from a full sort, which cannot change
-    the selected keypoint set except among exact response ties."""
-    if values.size > (1 << 18) and k * 8 < values.size:
-        vals, idxs = jax.lax.approx_max_k(values, k, recall_target=1.0)
-        return vals, idxs.astype(jnp.int32), vals > 0
+    Large inputs route through the hierarchical two-stage reduction
+    (:func:`_two_stage_topk`), which is bit-identical to ``lax.top_k``
+    (ties broken by lowest flat index) but bandwidth-bound instead of
+    sort-bound (the 1080p detection top-k was 14.4 ms as a flat
+    PartialReduce; see tests/test_utils.py for the tie-equivalence tests)."""
+    if values.size > (1 << 18) and k * 4 <= values.size and k >= 1:
+        vals, idxs = _two_stage_topk(values, k)
+        return vals, idxs, vals > 0
     vals, idxs = jax.lax.top_k(values, k)
     return vals, idxs, vals > 0

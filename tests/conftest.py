@@ -16,10 +16,12 @@ import jax  # noqa: E402
 import pytest  # noqa: E402
 
 # Compiled Pallas kernels need a TPU; run them interpreted on the CPU backend.
-from affnet_tpu.ops import pallas_detect, pallas_patches, patches  # noqa: E402
+from affnet_tpu.ops import (pallas_detect, pallas_patches,  # noqa: E402
+                            pallas_topk, patches)
 
 pallas_detect.INTERPRET = True
 pallas_patches.INTERPRET = True
+pallas_topk.INTERPRET = True
 # Detector tests use the XLA gather path (interpret-mode one-hot matmuls at
 # full image sizes are far too slow on CPU); the Pallas sampler's equivalence
 # is tested directly in tests/test_pallas_patches.py.

@@ -123,13 +123,13 @@ def test_window_matmul_bf16_fast_mode():
     assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 2.5
 
 
-def test_masked_topk_approx_path_matches_exact_values():
-    """The large-input approx_max_k path must return the exact top-k VALUES
-    (and the identical index set when values are distinct)."""
+def test_masked_topk_large_path_bit_identical_to_top_k():
+    """The large-input two-stage path must equal lax.top_k exactly —
+    values, indices, and order."""
     from affnet_tpu.ops.nms import masked_topk
 
     rng = np.random.RandomState(5)
-    n, k = (1 << 18) + 1024, 500   # above the approx-path threshold
+    n, k = (1 << 18) + 1024, 500   # above the two-stage threshold
     v = np.zeros(n, np.float32)
     idx = rng.choice(n, 5000, replace=False)
     v[idx] = rng.exponential(10, 5000).astype(np.float32)
@@ -137,8 +137,7 @@ def test_masked_topk_approx_path_matches_exact_values():
     vals, idxs, valid = masked_topk(v, k)
     evals, eidxs = jax.lax.top_k(v, k)
     np.testing.assert_array_equal(np.asarray(vals), np.asarray(evals))
-    np.testing.assert_array_equal(np.sort(np.asarray(idxs)),
-                                  np.sort(np.asarray(eidxs)))
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(eidxs))
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(vals) > 0)
 
 
