@@ -56,11 +56,19 @@ def make_dataset(args):
     import numpy as np
     from .. import data as D
     if args.synthetic:
-        from PIL import Image
-        img = np.mean(np.asarray(Image.open(
-            "/root/reference/test-graf/img1.png").convert("RGB")), axis=2)
-        patches, labels = D.synthetic_pairs_from_image(
-            img, n_classes=2048, views_per_class=4, seed=args.seed)
+        imgs = D.load_train_images()
+        if imgs:
+            # Multi-image, tilt-diverse, photometrically-jittered classes
+            # from NON-test reference images (no graf leakage).
+            patches, labels = D.synthetic_pairs_from_images(
+                imgs, n_classes=8192, views_per_class=6, seed=args.seed)
+        else:
+            from PIL import Image
+            img = np.mean(np.asarray(Image.open(
+                "/root/reference/test-graf/img1.png").convert("RGB")),
+                axis=2)
+            patches, labels = D.synthetic_pairs_from_image(
+                img, n_classes=2048, views_per_class=4, seed=args.seed)
     else:
         patches, labels = D.load_total_datasets(args.dataroot)
     # random_sampling needs explicit negatives -> triplet batches

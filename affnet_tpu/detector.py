@@ -226,11 +226,14 @@ class ScaleSpaceAffinePatchExtractor:
         lafs_cur = lafs0
         n = lafs0.shape[0]
         base_A = jnp.broadcast_to(jnp.eye(2, dtype=lafs0.dtype), (n, 2, 2))
+        overflow = cand.get("n_overflow", jnp.zeros((), jnp.int32))
         for i in range(cfg.num_baum_iters):
-            patches = extract_patches_pyramid(
+            patches, ovf = extract_patches_pyramid(
                 cand["flat"], lafs_cur, cand["ext_level"], offs, hs, ws,
                 ps=self.shape_net.ps, align_corners=cfg.align_corners,
-                site="shape", mxu_dtype=self._gather_dtype)
+                site="shape", mxu_dtype=self._gather_dtype,
+                return_miss_overflow=True)
+            overflow = overflow + ovf
             A = self.shape_net(params.get("aff"), patches)
             base_A = A @ base_A
             lafs_cur = jnp.concatenate(
@@ -250,6 +253,11 @@ class ScaleSpaceAffinePatchExtractor:
         else:
             resp_out, sel, valid_out = masked_topk(resp_masked,
                                                    min(kfinal, n))
+        # Gate-failed entries can carry arbitrarily elongated shapes (eig
+        # ratio > 6); zero their LAFs so downstream patch sites never pay
+        # fallback recomputes for keypoints that are filtered anyway.
+        lafs_cur = jnp.where(gate[:, None, None], lafs_cur,
+                             jnp.zeros_like(lafs_cur))
         out = {
             "flat": cand["flat"],
             "resp": resp_out,
@@ -260,6 +268,7 @@ class ScaleSpaceAffinePatchExtractor:
             "oct_idx": cand["oct_idx"][sel],
             "level_idx": cand["level_idx"][sel],
             "n_detected": cand["n_detected"],
+            "n_overflow": overflow,
         }
         return out
 
@@ -267,14 +276,38 @@ class ScaleSpaceAffinePatchExtractor:
         """Reference: getOrientation (SparseImgRepresenter.py:167-180)."""
         cfg = self.cfg
         offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
-        patches = extract_patches_pyramid(
+        patches, ovf = extract_patches_pyramid(
             cand["flat"], cand["lafs"], cand["ext_level"], offs, hs, ws,
             ps=self.ori_net.ps, align_corners=cfg.align_corners,
-            site="ori", mxu_dtype=self._gather_dtype)
+            site="ori", mxu_dtype=self._gather_dtype,
+            return_miss_overflow=True)
         rot = self.ori_net(params.get("ori"), patches, return_rot_matrix=True)
         lafs = jnp.concatenate(
             [cand["lafs"][:, :, :2] @ rot, cand["lafs"][:, :, 2:]], axis=2)
-        return {**cand, "lafs": lafs}
+        overflow = cand.get("n_overflow", jnp.zeros((), jnp.int32)) + ovf
+        return {**cand, "lafs": lafs, "n_overflow": overflow}
+
+    def _sort_for_describe(self, cand, plan: PyramidPlan, h: int, w: int):
+        """Reorder the candidate set by ascending descriptor-sample extent
+        so the desc gather can run its bucketed windows (ops/patches.py
+        DESC_BUCKETS).  Emits ``restore`` (the inverse permutation) so the
+        host can put outputs back into reference order — permuting the
+        small per-keypoint arrays is ~free on device while unsorting the
+        (N, PS, PS) patch tensor costs ~1 ns/element."""
+        from .ops.pallas_patches import sample_extents
+        cfg = self.cfg
+        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
+        dlafs = denormalize_lafs(cand["lafs"], w, h)
+        table = jnp.asarray(plan.sigma_pixdist_table())
+        lvl = select_levels_for_lafs(dlafs, table, cfg.patch_size)
+        eu, ev = sample_extents(cand["lafs"], lvl, hs, ws,
+                                cfg.patch_size, cfg.align_corners)
+        order = jnp.argsort(jnp.maximum(eu, ev))
+        perm = {k: cand[k][order] for k in
+                ("lafs", "resp", "valid", "orig_idx", "ext_level",
+                 "oct_idx", "level_idx")}
+        return {**cand, **perm, "desc_level": lvl[order],
+                "restore": jnp.argsort(order).astype(jnp.int32)}
 
     def _describe(self, params, cand, plan: PyramidPlan, h: int, w: int):
         """Descriptor-patch extraction with scale-aware level selection +
@@ -282,15 +315,21 @@ class ScaleSpaceAffinePatchExtractor:
         (SparseImgRepresenter.py:181-188) + HardNet (HardNet.py:98-101)."""
         cfg = self.cfg
         offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
-        dlafs = denormalize_lafs(cand["lafs"], w, h)
-        table = jnp.asarray(plan.sigma_pixdist_table())
-        lvl = select_levels_for_lafs(dlafs, table, cfg.patch_size)
-        patches = extract_patches_pyramid(
+        if "desc_level" in cand:
+            lvl = cand["desc_level"]
+            sorted_in = True
+        else:
+            dlafs = denormalize_lafs(cand["lafs"], w, h)
+            table = jnp.asarray(plan.sigma_pixdist_table())
+            lvl = select_levels_for_lafs(dlafs, table, cfg.patch_size)
+            sorted_in = False
+        patches, ovf = extract_patches_pyramid(
             cand["flat"], cand["lafs"], lvl, offs, hs, ws,
             ps=cfg.patch_size, align_corners=cfg.align_corners,
-            site="desc", mxu_dtype=self._gather_dtype)
+            site="desc", mxu_dtype=self._gather_dtype,
+            assume_extent_sorted=sorted_in, return_miss_overflow=True)
         descs = self.desc_net(params.get("desc"), patches)
-        return patches, descs
+        return patches, descs, ovf
 
     # ------------------------------------------------------------------
     # Host API
@@ -311,6 +350,8 @@ class ScaleSpaceAffinePatchExtractor:
                 cand = self._affine_shape(params, cand, plan)
             if do_ori:
                 cand = self._orientation(params, cand, plan)
+            if describe:
+                cand = self._sort_for_describe(cand, plan, h, w)
             out = {
                 "lafs": denormalize_lafs(cand["lafs"], w, h),
                 "resp": cand["resp"],
@@ -320,10 +361,16 @@ class ScaleSpaceAffinePatchExtractor:
                 "level_idx": cand["level_idx"],
                 "n_detected": cand["n_detected"],
             }
+            if "n_overflow" in cand:
+                out["n_overflow"] = cand["n_overflow"]
             if describe:
-                patches, descs = self._describe(params, cand, plan, h, w)
+                patches, descs, ovf = self._describe(params, cand, plan,
+                                                     h, w)
                 out["patches"] = patches
                 out["descs"] = descs
+                out["restore"] = cand["restore"]
+                out["n_overflow"] = out.get(
+                    "n_overflow", jnp.zeros((), jnp.int32)) + ovf
             return out
 
         return jax.jit(fn), plan
@@ -348,7 +395,6 @@ class ScaleSpaceAffinePatchExtractor:
         h, w = img.shape
         fn, _plan = self.get_jitted(h, w, do_ori, describe)
         out = fn(params or {}, img)
-        valid = np.asarray(out["valid"])
         # (OnePassSIR builds its own fn without the counter.)
         n_detected = out.pop("n_detected", None)
         n_detected = int(n_detected) if n_detected is not None else None
@@ -361,6 +407,21 @@ class ScaleSpaceAffinePatchExtractor:
                 f"{n_detected - self.cfg.max_keypoints} weakest responses "
                 "were dropped (raise DetectorConfig.max_keypoints / "
                 "--max-keypoints to keep them all)")
+        n_overflow = out.pop("n_overflow", None)
+        if n_overflow is not None and int(n_overflow) > 0:
+            import warnings
+            warnings.warn(
+                f"patch gather: {int(n_overflow)} window misses exceeded "
+                "the fallback capacity and kept truncated samples "
+                "(pathological LAF extents; raise ops.patches fallback "
+                "sizing if this recurs)")
+        # The device emits extent-sorted arrays in describe mode; restore
+        # maps them back to reference (top-k) order.
+        restore = out.pop("restore", None)
+        if restore is not None:
+            restore = np.asarray(restore)
+            out = {k: np.asarray(v)[restore] for k, v in out.items()}
+        valid = np.asarray(out["valid"])
         res = {k: np.asarray(v)[valid] for k, v in out.items()
                if k != "valid"}
         if reference_order and self.cfg.threshold_mode:

@@ -114,6 +114,10 @@ class OnePassSIR(ScaleSpaceAffinePatchExtractor):
             "ext_level": jnp.asarray(ext_levels)[det_lvl],
             "oct_idx": jnp.asarray(oct_ids)[det_lvl],
             "level_idx": jnp.asarray(level_ids)[det_lvl],
+            # NMS survivor count before the static cap, so extract_geom's
+            # threshold mode warns on truncation like the base pipeline
+            # (reference keeps every survivor via torch.nonzero).
+            "n_detected": (resp_all > 0).sum().astype(jnp.int32),
         }
 
     def _build(self, h: int, w: int, do_ori: bool, describe: bool):
@@ -131,6 +135,8 @@ class OnePassSIR(ScaleSpaceAffinePatchExtractor):
             # No Baumberg loop (OnePassSIR.forward, :139-153).
             if do_ori:
                 cand = self._orientation(params, cand, plan)
+            if describe:
+                cand = self._sort_for_describe(cand, plan, h, w)
             out = {
                 "lafs": denormalize_lafs(cand["lafs"], w, h),
                 "resp": cand["resp"],
@@ -138,11 +144,18 @@ class OnePassSIR(ScaleSpaceAffinePatchExtractor):
                 "orig_idx": cand["orig_idx"],
                 "oct_idx": cand["oct_idx"],
                 "level_idx": cand["level_idx"],
+                "n_detected": cand["n_detected"],
             }
+            if "n_overflow" in cand:
+                out["n_overflow"] = cand["n_overflow"]
             if describe:
-                patches, descs = self._describe(params, cand, plan, h, w)
+                patches, descs, ovf = self._describe(params, cand, plan,
+                                                     h, w)
                 out["patches"] = patches
                 out["descs"] = descs
+                out["restore"] = cand["restore"]
+                out["n_overflow"] = out.get(
+                    "n_overflow", jnp.zeros((), jnp.int32)) + ovf
             return out
 
         return jax.jit(fn), plan

@@ -96,38 +96,42 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
     VMEM scratch with double-buffered DMAs — windows for step i+1 are in
     flight while step i computes.
 
-    When ``fetch_cols`` equals the full buffer width, each window DMA is one
-    CONTIGUOUS HBM range (a band of whole rows) instead of RW strided row
-    segments — strided copies cost ~70 ns per segment, which made the
-    small-window sites DMA-bound — and the (RW, CW) compute window is sliced
-    out of VMEM at the 128-aligned per-patch column origin."""
+    ``buf_ref`` is the COLUMN-TILED pyramid buffer (see the wrapper): every
+    window is one CONTIGUOUS band of ``fetch_cols``-wide rows — strided row
+    segments cost ~70 ns each and full-width (1920-col) bands were 4-7x the
+    needed bytes (both measured; the tiled layout made the shape/desc
+    gathers DMA-minimal).  The (RW, CW) compute window is sliced out of VMEM
+    at the 128-aligned per-patch tile-local column origin."""
     i = pl.program_id(0)
     sc, n_chunks, _ = _chunking(ps, chunk_samples)
-    full_rows = fetch_cols > cw
+    nbuf = win_ref.shape[0]
 
     def dma(step, slot, q):
         # Origins are quantized to the (QR, QC) tile by the wrapper; the
         # multiple_of hints let Mosaic slice the tiled HBM memref.
         r0 = pl.multiple_of(blk_ref[(step * p + q) * 2], QR)
-        if full_rows:
-            src = buf_ref.at[pl.ds(r0, rw), :]
-        else:
-            c0 = pl.multiple_of(blk_ref[(step * p + q) * 2 + 1], QC)
-            src = buf_ref.at[pl.ds(r0, rw), pl.ds(c0, cw)]
+        src = buf_ref.at[pl.ds(r0, rw), :]
         return pltpu.make_async_copy(src, win_ref.at[slot, q],
                                      sem_ref.at[slot, q])
 
-    @pl.when(i == 0)
-    def _():
+    if nbuf == 1:
+        # Single-buffered (big-window bucket: the window pair would not fit
+        # VMEM): DMAs issue at the top of the step, no cross-step overlap.
         for q in range(p):
-            dma(0, 0, q).start()
+            dma(i, 0, q).start()
+        slot = 0
+    else:
+        @pl.when(i == 0)
+        def _():
+            for q in range(p):
+                dma(0, 0, q).start()
 
-    @pl.when(i + 1 < n_steps)
-    def _():
-        for q in range(p):
-            dma(i + 1, (i + 1) % 2, q).start()
+        @pl.when(i + 1 < n_steps)
+        def _():
+            for q in range(p):
+                dma(i + 1, (i + 1) % 2, q).start()
 
-    slot = i % 2
+        slot = i % 2
 
     # Static per-sample base-grid ids as (chunk, 1)/(chunk, RW/CW) vectors.
     # (Mosaic iota is integer-only; cast to f32 afterwards.)
@@ -139,7 +143,7 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
 
     for q in range(p):
         dma(i, slot, q).wait()
-        if full_rows:
+        if fetch_cols > cw:
             c0 = pl.multiple_of(blk_ref[(i * p + q) * 2 + 1], QC)
             window = win_ref[slot, q, :, pl.ds(c0, cw)]  # (RW, CW)
         else:
@@ -156,6 +160,17 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
         ylo = meta_ref[base + 7]
         yhi = meta_ref[base + 8]
 
+        # Fold the level-bound masks into the window ONCE per patch (the
+        # product distributes: zeroing window rows/cols == zeroing tent
+        # entries) — per-sample tent masking cost 2x the VPU work of the
+        # whole tent construction at desc-window sizes.
+        wrow = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 0) \
+            .astype(jnp.float32)
+        wcol = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 1) \
+            .astype(jnp.float32)
+        ok = (wrow >= ylo) & (wrow <= yhi) & (wcol <= xhi)
+        window = jnp.where(ok, window, 0.0).astype(mxu_dtype)
+
         def chunk_body(ck, _):
             # fori_loop (not unrolled) so the chunk transients are a single
             # reused buffer set — unrolling all P*n_chunks bodies spills VMEM.
@@ -168,15 +183,13 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
             v = b21 * gx + b22 * gy + v0                 # window-local rows
 
             rw_t = jnp.maximum(0.0, 1.0 - jnp.abs(r_ids - v))
-            rw_t = jnp.where((r_ids >= ylo) & (r_ids <= yhi), rw_t, 0.0)
             cw_t = jnp.maximum(0.0, 1.0 - jnp.abs(c_ids - u))
-            cw_t = jnp.where(c_ids <= xhi, cw_t, 0.0)
 
             # mxu_dtype=bf16 runs the row-gather matmul at 4x MXU rate with
             # f32 accumulation (fast mode: ~1 grey-level patch error).
             # precision=DEFAULT overrides the package-wide f32 matmul
             # precision, which Mosaic rejects for bf16 operands.
-            g = jnp.dot(rw_t.astype(mxu_dtype), window.astype(mxu_dtype),
+            g = jnp.dot(rw_t.astype(mxu_dtype), window,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.DEFAULT)
             out_ref[q, pl.ds(ck * sc, sc)] = jnp.sum(g * cw_t, axis=1)
@@ -190,7 +203,8 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "ps", "align_corners", "window_rows", "window_cols", "patches_per_step",
-    "fallback_slots", "chunk_samples", "mxu_dtype", "interpret"))
+    "fallback_slots", "chunk_samples", "mxu_dtype", "interpret", "n_buffers",
+    "return_miss_overflow"))
 def extract_patches_window_matmul(buf2d: Array, lafs: Array,
                                   level_idx: Array, row_offsets: Array,
                                   heights: Array, widths: Array,
@@ -201,8 +215,15 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
                                   fallback_slots: int = 32,
                                   chunk_samples: int = 1024,
                                   mxu_dtype=jnp.float32,
-                                  interpret: bool | None = None) -> Array:
-    """Drop-in replacement for patches.extract_patches_from_flat_pyramid."""
+                                  interpret: bool | None = None,
+                                  n_buffers: int = 2,
+                                  return_miss_overflow: bool = False):
+    """Drop-in replacement for patches.extract_patches_from_flat_pyramid.
+
+    With ``return_miss_overflow`` returns ``(patches, n_overflow)`` where
+    ``n_overflow`` counts window misses beyond the ``fallback_slots``
+    capacity — those patches keep the (truncated) kernel output, so a
+    nonzero count must be surfaced to the caller (no silent corruption)."""
     if interpret is None:
         interpret = INTERPRET
     n = lafs.shape[0]
@@ -215,19 +236,35 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
     # after clamping (OOB reads are undefined — NaN in interpret mode — and
     # 0 * NaN != 0 in the tent masks).
     rows_pad = -(-buf2d.shape[0] // QR) * QR
-    cols_pad = -(-buf2d.shape[1] // QC) * QC
-    rw = min(window_rows, rows_pad)
-    cw = min(window_cols, cols_pad)
-    # Fetch full-width row bands (one contiguous DMA per window instead of
-    # RW strided segments) whenever the double-buffered scratch fits VMEM.
-    p_eff = -(-patches_per_step // 8) * 8
-    if 2 * p_eff * rw * cols_pad * 4 <= 6 * 2 ** 20:
-        fetch_cols = cols_pad
+    # Column-tile layout: overlapping tiles of tile_w columns at
+    # tile_stride, stacked vertically, so any QC-aligned window of cw
+    # columns lies inside ONE tile and its DMA is a single contiguous band.
+    # tile_w = tile_stride * m with tile_w >= cw + QC guarantees the
+    # tile-local origin c0p (QC-aligned, <= tile_w - cw after edge clipping)
+    # keeps the window inside the tile.
+    tile_stride = 2 * QC
+    cols_raw = -(-buf2d.shape[1] // QC) * QC
+    cw = min(window_cols, cols_raw)
+    tile_w = tile_stride * (-(-(cw + QC) // tile_stride))
+    if cols_raw >= tile_w:
+        cols_pad = -(-cols_raw // tile_stride) * tile_stride
+        n_tiles = (cols_pad - tile_w) // tile_stride + 1
     else:
-        fetch_cols = cw
+        cols_pad = cols_raw
+        n_tiles = 1
+        tile_w = cols_pad
+        cw = min(cw, tile_w)
+    rw = min(window_rows, rows_pad)
+    fetch_cols = tile_w
     if (rows_pad, cols_pad) != buf2d.shape:
         buf2d = jnp.pad(buf2d, ((0, rows_pad - buf2d.shape[0]),
                                 (0, cols_pad - buf2d.shape[1])))
+    if n_tiles > 1:
+        buf_tiled = jnp.concatenate(
+            [buf2d[:, t * tile_stride:t * tile_stride + tile_w]
+             for t in range(n_tiles)], axis=0)
+    else:
+        buf_tiled = buf2d
 
     h_l = heights[level_idx].astype(dt)
     w_l = widths[level_idx].astype(dt)
@@ -267,6 +304,11 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
                   0, cols_pad - cw)
     r0 = jnp.clip((jnp.floor(safe(v_lo)).astype(jnp.int32) // QR) * QR,
                   0, rows_pad - rw)
+    # Map origins into the column-tiled buffer: tile index, tile-local
+    # column (stays QC-aligned: stride is 2*QC), vertical tile offset.
+    tile_idx = jnp.clip(c0 // tile_stride, 0, n_tiles - 1)
+    c0_local = c0 - tile_idx * tile_stride
+    r0_tiled = tile_idx * rows_pad + r0
 
     # Coverage check on the corner pixels that can carry nonzero weight.
     need_xhi = jnp.minimum(w_l - 1.0, jnp.floor(safe(u_hi)) + 1.0)
@@ -289,11 +331,11 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
     n_pad = -(-n // p) * p
     if n_pad != n:
         meta = jnp.pad(meta, ((0, n_pad - n), (0, 0)))
-        c0 = jnp.pad(c0, (0, n_pad - n))
-        r0 = jnp.pad(r0, (0, n_pad - n))
+        c0_local = jnp.pad(c0_local, (0, n_pad - n))
+        r0_tiled = jnp.pad(r0_tiled, (0, n_pad - n))
     # Scalar-prefetch operands must be 1-D: 2-D SMEM arrays are lane-padded
     # to 128 columns (a (2000, 2) table would occupy 1 MB of the 1 MB SMEM).
-    blk = jnp.stack([r0, c0], axis=1).reshape(-1)    # (n_pad*2,) int32
+    blk = jnp.stack([r0_tiled, c0_local], axis=1).reshape(-1)  # (n_pad*2,)
     meta = meta.reshape(-1)                          # (n_pad*META_W,)
 
     _, _, s_pad = _chunking(ps, chunk_samples)
@@ -309,8 +351,8 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
             out_specs=pl.BlockSpec((p, s_pad), lambda i, blk_ref, meta_ref:
                                    (i, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, p, rw, fetch_cols), dt),  # 2x-buffered windows
-                pltpu.SemaphoreType.DMA((2, p)),
+                pltpu.VMEM((n_buffers, p, rw, fetch_cols), dt),
+                pltpu.SemaphoreType.DMA((n_buffers, p)),
             ],
         )
         kernel = functools.partial(
@@ -323,7 +365,7 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
             out_shape=jax.ShapeDtypeStruct((ng, s_pad), dt),
             interpret=interpret,
         )(blk[g0 * 2:(g0 + ng) * 2], meta[g0 * META_W:(g0 + ng) * META_W],
-          buf2d))
+          buf_tiled))
     flat = jnp.concatenate(flats)[:n, :ps * ps] if len(flats) > 1 \
         else flats[0][:n, :ps * ps]
 
@@ -332,39 +374,123 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
     # Exact XLA recompute of the (rare) patches whose extent exceeds the
     # window, scattered back over the kernel output.  Unused slots default to
     # patch 0, whose recompute is identical — the scatter is then a no-op.
+    # The whole recompute hides behind lax.cond: with well-sized windows
+    # misses are ~0 and the always-on fallback gathers were the single
+    # biggest cost of the desc site (4x 1.4 ms at 192 slots, measured).
     k = min(fallback_slots, n)
+    n_miss = (~fits).sum().astype(jnp.int32)
+    n_overflow = jnp.maximum(0, n_miss - k)
     if k > 0:
         miss = ~fits
         rank = jnp.cumsum(miss.astype(jnp.int32)) - 1
         slot = jnp.where(miss & (rank < k), rank, k)
         idx_k = jnp.zeros((k + 1,), jnp.int32).at[slot].set(
             jnp.arange(n, dtype=jnp.int32), mode="drop")[:k]
-        gx_t, gy_t = _patch_grid(ps, align_corners, dt)
-        lv = level_idx[idx_k]
-        hh = heights[lv].astype(dt)[:, None, None]
-        ww = widths[lv].astype(dt)[:, None, None]
-        mm = jnp.minimum(hh, ww)
-        Ak = lafs[idx_k].astype(dt)
-        xs = mm * (Ak[:, None, None, 0, 0] * gx_t
-                   + Ak[:, None, None, 0, 1] * gy_t) \
-            + ww * Ak[:, None, None, 0, 2]
-        ys = mm * (Ak[:, None, None, 1, 0] * gx_t
-                   + Ak[:, None, None, 1, 1] * gy_t) \
-            + hh * Ak[:, None, None, 1, 2]
-        if align_corners:
-            u = xs * (ww - 1.0) / ww
-            v = ys * (hh - 1.0) / hh
-        else:
-            u = xs - 0.5
-            v = ys - 0.5
-        ro = jnp.broadcast_to(row_offsets[lv][:, None, None], u.shape)
-        hi = jnp.broadcast_to(heights[lv][:, None, None], u.shape)
-        wi = jnp.broadcast_to(widths[lv][:, None, None], u.shape)
-        vals = _bilinear_window_sample_vec(
-            buf2d, ro.reshape(-1), hi.reshape(-1), wi.reshape(-1),
-            u.reshape(-1), v.reshape(-1)).reshape(k, ps, ps)
-        patches = patches.at[idx_k].set(vals)
+
+        def recompute(patches):
+            gx_t, gy_t = _patch_grid(ps, align_corners, dt)
+            lv = level_idx[idx_k]
+            hh = heights[lv].astype(dt)[:, None, None]
+            ww = widths[lv].astype(dt)[:, None, None]
+            mm = jnp.minimum(hh, ww)
+            Ak = lafs[idx_k].astype(dt)
+            xs = mm * (Ak[:, None, None, 0, 0] * gx_t
+                       + Ak[:, None, None, 0, 1] * gy_t) \
+                + ww * Ak[:, None, None, 0, 2]
+            ys = mm * (Ak[:, None, None, 1, 0] * gx_t
+                       + Ak[:, None, None, 1, 1] * gy_t) \
+                + hh * Ak[:, None, None, 1, 2]
+            if align_corners:
+                u = xs * (ww - 1.0) / ww
+                v = ys * (hh - 1.0) / hh
+            else:
+                u = xs - 0.5
+                v = ys - 0.5
+            ro = jnp.broadcast_to(row_offsets[lv][:, None, None], u.shape)
+            hi = jnp.broadcast_to(heights[lv][:, None, None], u.shape)
+            wi = jnp.broadcast_to(widths[lv][:, None, None], u.shape)
+            vals = _bilinear_window_sample_vec(
+                buf2d, ro.reshape(-1), hi.reshape(-1), wi.reshape(-1),
+                u.reshape(-1), v.reshape(-1)).reshape(k, ps, ps)
+            return patches.at[idx_k].set(vals)
+
+        patches = jax.lax.cond(n_miss > 0, recompute, lambda p: p, patches)
+    if return_miss_overflow:
+        return patches, n_overflow
     return patches
+
+
+def sample_extents(lafs: Array, level_idx: Array, heights: Array,
+                   widths: Array, ps: int, align_corners: bool):
+    """Half-extents (eu cols, ev rows, in level pixels) of each patch's
+    bilinear sample spread — the same quantities the kernel's coverage check
+    uses.  NaN/inf LAFs map to +inf so they sort into the last bucket."""
+    dt = jnp.float32
+    h_l = heights[level_idx].astype(dt)
+    w_l = widths[level_idx].astype(dt)
+    m = jnp.minimum(h_l, w_l)
+    A = lafs[:, :2, :2].astype(dt)
+    if align_corners:
+        su = (w_l - 1.0) / w_l
+        sv = (h_l - 1.0) / h_l
+    else:
+        su = jnp.ones_like(w_l)
+        sv = jnp.ones_like(h_l)
+    ga, gb = _grid_coeff(ps, align_corners)
+    gmax = max(abs(ga * (ps - 1) + gb), abs(gb))
+    eu = (jnp.abs(m * A[:, 0, 0] * su) + jnp.abs(m * A[:, 0, 1] * su)) * gmax
+    ev = (jnp.abs(m * A[:, 1, 0] * sv) + jnp.abs(m * A[:, 1, 1] * sv)) * gmax
+    big = jnp.float32(jnp.inf)
+    bad = ~(jnp.isfinite(eu) & jnp.isfinite(ev))
+    return jnp.where(bad, big, eu), jnp.where(bad, big, ev)
+
+
+def extract_patches_bucketed(buf2d: Array, lafs: Array, level_idx: Array,
+                             row_offsets: Array, heights: Array,
+                             widths: Array, ps: int, align_corners: bool,
+                             buckets, fallback_slots: int,
+                             mxu_dtype=jnp.float32,
+                             interpret: bool | None = None):
+    """Multi-window extraction for EXTENT-SORTED inputs: slice the (sorted)
+    LAF list into static-capacity buckets, each sampled with a window sized
+    for its extent class (the dense tent matmuls and window DMAs scale with
+    the window, and the p95 window is ~5x the median — measured desc-site
+    extents at 1080p: p50 87 px, p95 243, max 403).
+
+    Correct for ANY input order (a patch that exceeds its bucket's window is
+    recomputed exactly by the fallback), but only extent-ascending order
+    puts patches in cost-optimal buckets.  Returns (patches, n_overflow):
+    n_overflow counts fallback-capacity overflows (truncated patches) summed
+    over buckets — callers must surface nonzero counts."""
+    n = lafs.shape[0]
+    fracs = [b[0] for b in buckets]
+    sizes = []
+    used = 0
+    for i, f in enumerate(fracs):
+        if i == len(fracs) - 1:
+            sizes.append(n - used)
+        else:
+            s = min(max(0, int(n * f) // 8 * 8), n - used)
+            sizes.append(s)
+            used += s
+    outs, overflows = [], []
+    start = 0
+    for (frac, cfg), size in zip(buckets, sizes):
+        if size <= 0:
+            continue
+        sl = slice(start, start + size)
+        cfg = dict(cfg)
+        slots = min(size, cfg.pop("fallback_slots", fallback_slots))
+        res, ovf = extract_patches_window_matmul(
+            buf2d, lafs[sl], level_idx[sl], row_offsets, heights, widths,
+            ps=ps, align_corners=align_corners,
+            fallback_slots=slots, mxu_dtype=mxu_dtype,
+            interpret=interpret, return_miss_overflow=True, **cfg)
+        outs.append(res)
+        overflows.append(ovf)
+        start += size
+    patches = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return patches, sum(overflows[1:], overflows[0])
 
 
 def _patch_grid(ps: int, align_corners: bool, dtype):

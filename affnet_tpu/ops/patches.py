@@ -187,16 +187,35 @@ def extract_patches_batched(imgs: Array, lafs: Array, ps: int = 32,
 # Per-site window config for the Pallas gather-as-matmul sampler
 # (ops/pallas_patches.py), sized from measured sample-extent distributions on
 # the 1080p/2000-feature bench pipeline (scripts/measure_patch_extents.py):
-# shape-site extents <= 35 px, orientation <= 87 px, descriptor p90 = 202 px
-# with a ~7% tail up to 400 px that the XLA fallback recomputes exactly.
+# shape-site extents <= 35 px, orientation <= 87 px; descriptor extents span
+# p50 87 / p95 243 / max 403 px, so the desc site carries extent BUCKETS
+# (capacity fraction -> window class) used when the caller supplies
+# extent-sorted LAFs — the tent matmuls and window DMAs scale with the
+# window, and one p100-sized window for every patch cost ~5x the bucketed
+# mix.  Window misses are recomputed exactly by the XLA fallback;
+# ``fallback_slots`` scales with the patch count (a fixed 192 was sized on
+# one bench image and could silently truncate on bigger CLI runs).
 PALLAS_SITES = {
-    "shape": dict(window_rows=48, window_cols=256, patches_per_step=8,
-                  fallback_slots=32),
-    "ori": dict(window_rows=96, window_cols=256, patches_per_step=8,
-                fallback_slots=32),
-    "desc": dict(window_rows=256, window_cols=384, patches_per_step=8,
-                 fallback_slots=192),
+    "shape": dict(window_rows=48, window_cols=256, patches_per_step=8),
+    "ori": dict(window_rows=96, window_cols=256, patches_per_step=8),
+    "desc": dict(window_rows=256, window_cols=384, patches_per_step=8),
 }
+
+DESC_BUCKETS = (
+    (0.55, dict(window_rows=96, window_cols=256, patches_per_step=8,
+                fallback_slots=16)),
+    (0.35, dict(window_rows=224, window_cols=384, patches_per_step=8,
+                fallback_slots=16)),
+    # Big-window tail: single-buffered (the window pair would exceed VMEM)
+    # and sample-chunked (full-size tent transients + an 11 MB window
+    # scratch thrashed VMEM, measured 33 us/patch -> ~3 us).
+    (None, dict(window_rows=448, window_cols=512, patches_per_step=8,
+                n_buffers=1, chunk_samples=256, fallback_slots=64)),
+)
+
+
+def _fallback_slots(n: int) -> int:
+    return min(n, max(32, n // 16))
 
 # Master switch for the Pallas sampler on the pyramid path.  Tests on the
 # CPU backend turn this off globally (interpret-mode one-hot matmuls at
@@ -209,20 +228,48 @@ def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
                             widths: Array, ps: int = 32,
                             align_corners: bool = False,
                             site: str = "desc",
-                            mxu_dtype=None) -> Array:
+                            mxu_dtype=None,
+                            assume_extent_sorted: bool = False,
+                            return_miss_overflow: bool = False):
     """Pyramid patch extraction: Pallas gather-as-matmul kernel when enabled,
     else the XLA flat-gather path (both numerically equivalent; see
     tests/test_pallas_patches.py).  ``mxu_dtype=jnp.bfloat16`` selects the
-    fast-mode sampler (4x MXU rate, ~1 grey-level patch error)."""
+    fast-mode sampler (4x MXU rate, ~1 grey-level patch error).
+
+    ``assume_extent_sorted``: the caller passes LAFs sorted by ascending
+    sample extent, enabling the bucketed multi-window path for sites that
+    define buckets (currently "desc").  Results stay correct for any order
+    (misfits fall back to the exact XLA recompute) but only sorted input
+    gets the bucketed speed.
+
+    ``return_miss_overflow``: also return the count of fallback-capacity
+    overflows (patches left with truncated samples); callers should warn
+    when it is nonzero."""
+    n = lafs.shape[0]
     if USE_PALLAS:
-        from .pallas_patches import extract_patches_window_matmul
+        from .pallas_patches import (extract_patches_bucketed,
+                                     extract_patches_window_matmul)
         kw = {} if mxu_dtype is None else {"mxu_dtype": mxu_dtype}
-        return extract_patches_window_matmul(
-            buf2d, lafs, level_idx, row_offsets, heights, widths,
-            ps=ps, align_corners=align_corners, **PALLAS_SITES[site], **kw)
-    return extract_patches_from_flat_pyramid(
+        if assume_extent_sorted and site == "desc":
+            patches, ovf = extract_patches_bucketed(
+                buf2d, lafs, level_idx, row_offsets, heights, widths,
+                ps=ps, align_corners=align_corners, buckets=DESC_BUCKETS,
+                fallback_slots=_fallback_slots(n), **kw)
+        else:
+            patches, ovf = extract_patches_window_matmul(
+                buf2d, lafs, level_idx, row_offsets, heights, widths,
+                ps=ps, align_corners=align_corners,
+                fallback_slots=_fallback_slots(n),
+                return_miss_overflow=True, **PALLAS_SITES[site], **kw)
+        if return_miss_overflow:
+            return patches, ovf
+        return patches
+    patches = extract_patches_from_flat_pyramid(
         buf2d, lafs, level_idx, row_offsets, heights, widths,
         ps=ps, align_corners=align_corners)
+    if return_miss_overflow:
+        return patches, jnp.zeros((), jnp.int32)
+    return patches
 
 
 def select_levels_for_lafs(dlafs: Array, sigma_pixdist_table: Array,

@@ -60,7 +60,17 @@ def gaussian_blur(img: Array, sigma: float, py2: bool = False) -> Array:
     Implemented as shifted-slice multiply-adds rather than lax.conv: a
     1-channel conv pads the channel dimension to full vector lanes on TPU
     (~100x wasted compute/bandwidth), while K shifted slices fuse into one
-    bandwidth-bound VPU stencil pass."""
+    bandwidth-bound VPU stencil pass.  Inside large programs the Pallas
+    kernel (ops/pallas_blur.py) is used instead — see USE_PALLAS_BLUR."""
+    if USE_PALLAS_BLUR:
+        from .pallas_blur import gaussian_blur_pallas
+        return gaussian_blur_pallas(img, sigma, py2=py2)
+    return gaussian_blur_xla(img, sigma, py2=py2)
+
+
+def gaussian_blur_xla(img: Array, sigma: float, py2: bool = False) -> Array:
+    """The XLA shifted-slice formulation (reference implementation; also the
+    fallback for shapes the Pallas kernel cannot tile)."""
     k = gauss_kernel_1d(sigma, py2=py2)
     pad = len(k) // 2
     # Horizontal pass: out[., j] = sum_i k[i] * xp[., j + i].
@@ -78,9 +88,23 @@ def gaussian_blur(img: Array, sigma: float, py2: bool = False) -> Array:
     return y
 
 
+# Route pyramid blurs through the Pallas stencil kernel and the downsample
+# through the one-hot selection matmul (ops/pallas_blur.py).  Both are exact
+# vs the XLA formulations below (tested); the switch exists because inside
+# the full detector program XLA duplicates the separable-blur computation
+# into its consumers (measured 1.4-5 ms per blur at 1080p vs 0.07 ms for
+# the same blur in isolation), and lane-strided slicing costs ~2.7 ns/elem
+# (5 ms per 1080p downsample).  pallas_call is opaque to fusion, forcing
+# materialization.
+USE_PALLAS_BLUR = True
+
+
 def downsample2(img: Array) -> Array:
     """Stride-2 point sampling == avg_pool2d(kernel_size=1, stride=2)
     (HandCraftedModules.py:47)."""
+    if USE_PALLAS_BLUR:
+        from .pallas_blur import downsample2_matmul
+        return downsample2_matmul(img)
     return img[::2, ::2]
 
 

@@ -161,3 +161,28 @@ def test_window_matmul_nonfinite_lafs_are_harmless():
     np.testing.assert_allclose(np.asarray(got)[keep], np.asarray(ref)[keep],
                                rtol=5e-5, atol=5e-3)
     assert np.isfinite(np.asarray(got)[keep]).all()
+
+
+def test_window_matmul_wide_buffer_tiled_layout():
+    """Buffers wider than one column tile exercise the tiled-DMA layout
+    (tile_w=512, stride 256): windows near tile seams and at the right edge
+    must still match the XLA path exactly."""
+    rng = np.random.RandomState(7)
+    shapes = [(80, 900), (40, 450)]
+    buf, offs, hs, ws = _fake_pyramid(rng, shapes)
+    n = 48
+    lafs = np.array(_random_lafs(rng, n, (0.02, 0.12)))
+    # Pin several centers near tile-stride boundaries and the right edge.
+    for i, cx in enumerate([0.27, 0.29, 0.56, 0.58, 0.84, 0.99, 0.01]):
+        lafs[i, 0, 2] = cx
+    lafs = jnp.asarray(lafs)
+    lvl = jnp.asarray(rng.randint(0, 2, n).astype(np.int32))
+    ref = extract_patches_from_flat_pyramid(buf, lafs, lvl, offs, hs, ws,
+                                            ps=32)
+    got = extract_patches_window_matmul(buf, lafs, lvl, offs, hs, ws, ps=32,
+                                        window_rows=96, window_cols=256,
+                                        patches_per_step=8, fallback_slots=8,
+                                        interpret=True)
+    # Window-local-coordinate f32 rounding grows with the column origin
+    # (documented equivalence class, ~3e-5 relative on the 0-255 scale).
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-2
