@@ -40,6 +40,7 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -201,11 +202,24 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
+def extract_patches_window_matmul(buf2d: Array, lafs: Array,
+                                  level_idx: Array, row_offsets: Array,
+                                  heights: Array, widths: Array,
+                                  interpret: bool | None = None, **kw):
+    """Non-jitted entry: resolves the module INTERPRET flag OUTSIDE the jit
+    cache (``interpret`` is a static cache key, so resolving the global at
+    trace time silently pinned the first value seen — tests toggle it)."""
+    if interpret is None:
+        interpret = INTERPRET
+    return _window_matmul_jit(buf2d, lafs, level_idx, row_offsets, heights,
+                              widths, interpret=interpret, **kw)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "ps", "align_corners", "window_rows", "window_cols", "patches_per_step",
     "fallback_slots", "chunk_samples", "mxu_dtype", "interpret", "n_buffers",
     "return_miss_overflow"))
-def extract_patches_window_matmul(buf2d: Array, lafs: Array,
+def _window_matmul_jit(buf2d: Array, lafs: Array,
                                   level_idx: Array, row_offsets: Array,
                                   heights: Array, widths: Array,
                                   ps: int = 32, align_corners: bool = False,
@@ -215,7 +229,7 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
                                   fallback_slots: int = 32,
                                   chunk_samples: int = 1024,
                                   mxu_dtype=jnp.float32,
-                                  interpret: bool | None = None,
+                                  interpret: bool = False,
                                   n_buffers: int = 2,
                                   return_miss_overflow: bool = False):
     """Drop-in replacement for patches.extract_patches_from_flat_pyramid.
@@ -224,8 +238,6 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
     ``n_overflow`` counts window misses beyond the ``fallback_slots``
     capacity — those patches keep the (truncated) kernel output, so a
     nonzero count must be surfaced to the caller (no silent corruption)."""
-    if interpret is None:
-        interpret = INTERPRET
     n = lafs.shape[0]
     # The output block is (p, ps*ps); Mosaic requires the sublane dimension
     # to be a multiple of 8.
@@ -499,3 +511,67 @@ def _patch_grid(ps: int, align_corners: bool, dtype):
     else:
         lin = (2.0 * jnp.arange(ps, dtype=dtype) + 1.0) / ps - 1.0
     return jnp.tile(lin[None, :], (ps, 1)), jnp.tile(lin[:, None], (1, ps))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable batched sampler (training warps / shape optimization)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _batched_sample_diff(buf2d, lafs, ps, align_corners, n, hw):
+    """Forward = Pallas gather-as-matmul on the stacked (N*H, W) buffer;
+    backward = VJP of the XLA flat-gather formulation (the two forwards are
+    equal up to f32 rounding — tests/test_pallas_patches.py — so the
+    cotangents are the exact gradients of the same sampling function).
+    The image gradient is the XLA scatter-add the training path already
+    paid; the LAF gradient is a small per-patch reduction."""
+    h, w = hw
+    row_off, heights, widths = _batched_tables(n, h, w)
+    return extract_patches_window_matmul(
+        buf2d, lafs, jnp.arange(n, dtype=jnp.int32), row_off, heights,
+        widths, ps=ps, align_corners=align_corners,
+        window_rows=-(-int(1.75 * h) // 8) * 8, window_cols=2 * QC,
+        patches_per_step=8, fallback_slots=max(8, n // 32))
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_tables_np(n, h, w):
+    return (np.arange(n, dtype=np.int32) * h,
+            np.full(n, h, np.int32), np.full(n, w, np.int32))
+
+
+def _batched_tables(n, h, w):
+    ro, hs, ws = _batched_tables_np(n, h, w)
+    return jnp.asarray(ro), jnp.asarray(hs), jnp.asarray(ws)
+
+
+def _batched_sample_fwd(buf2d, lafs, ps, align_corners, n, hw):
+    return (_batched_sample_diff(buf2d, lafs, ps, align_corners, n, hw),
+            (buf2d, lafs))
+
+
+def _batched_sample_bwd(ps, align_corners, n, hw, res, g):
+    from .patches import extract_patches_from_flat_pyramid
+    buf2d, lafs = res
+    h, w = hw
+    row_off, heights, widths = _batched_tables(n, h, w)
+    _, vjp = jax.vjp(
+        lambda b, l: extract_patches_from_flat_pyramid(
+            b, l, jnp.arange(n, dtype=jnp.int32), row_off, heights, widths,
+            ps=ps, align_corners=align_corners),
+        buf2d, lafs)
+    return vjp(g)
+
+
+_batched_sample_diff.defvjp(_batched_sample_fwd, _batched_sample_bwd)
+
+
+def extract_patches_batched_pallas(imgs: Array, lafs: Array, ps: int = 32,
+                                   align_corners: bool = False) -> Array:
+    """Differentiable drop-in for patches.extract_patches_batched: Pallas
+    forward (each LAF samples its own stacked image) with a custom VJP.
+    Used by the training-time warps (augmentation.py) and shape_opt, which
+    previously paid the ~6.6 ns/corner XLA gather forward."""
+    n, h, w = imgs.shape
+    buf2d = imgs.reshape(n * h, w)
+    return _batched_sample_diff(buf2d, lafs, ps, align_corners, n, (h, w))

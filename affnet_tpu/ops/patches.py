@@ -161,15 +161,27 @@ def extract_patches(img: Array, lafs: Array, ps: int = 32,
     return jax.vmap(one)(lafs)
 
 
-@partial(jax.jit, static_argnames=("ps", "align_corners"))
 def extract_patches_batched(imgs: Array, lafs: Array, ps: int = 32,
                             align_corners: bool = False) -> Array:
     """Per-sample extraction: imgs (N, H, W), lafs (N, 2, 3) -> (N, PS, PS).
     Used by the training augmentation path (train_AffNet_test_on_graffity.py:
     176-188) where each LAF warps its own source patch.
 
-    Implemented on the stacked (N*H, W) buffer so all N warps are one
-    windowed gather."""
+    With USE_PALLAS the forward runs the Pallas gather-as-matmul sampler
+    through its custom VJP (backward = VJP of the XLA formulation below, so
+    gradients are exact for the same sampling function); otherwise it is the
+    stacked (N*H, W)-buffer XLA gather."""
+    if USE_PALLAS:
+        from .pallas_patches import extract_patches_batched_pallas
+        return extract_patches_batched_pallas(imgs, lafs, ps=ps,
+                                              align_corners=align_corners)
+    return _extract_patches_batched_xla(imgs, lafs, ps=ps,
+                                        align_corners=align_corners)
+
+
+@partial(jax.jit, static_argnames=("ps", "align_corners"))
+def _extract_patches_batched_xla(imgs: Array, lafs: Array, ps: int = 32,
+                                 align_corners: bool = False) -> Array:
     n, h, w = imgs.shape
     gx, gy = _base_grid(ps, align_corners, lafs.dtype)
     buf2d = imgs.reshape(n * h, w)

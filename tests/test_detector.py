@@ -143,3 +143,58 @@ class TestDetectorParity:
         assert out["descs"].shape == (len(out["resp"]), 128)
         np.testing.assert_allclose(np.linalg.norm(out["descs"], axis=1), 1.0,
                                    atol=1e-3)
+
+
+class TestPallasPathGolden:
+    """End-to-end goldens THROUGH the Pallas samplers (interpret mode):
+    conftest disables USE_PALLAS for the suite (interpret one-hot matmuls
+    are slow at full sizes), so these re-enable it on the small golden image
+    to validate the composition — site window configs, desc-extent
+    bucketing + host restore permutation, fallback recompute — against the
+    executed-reference outputs."""
+
+    @pytest.fixture(autouse=True)
+    def _pallas_on(self, monkeypatch):
+        from affnet_tpu.ops import patches as patches_mod
+        monkeypatch.setattr(patches_mod, "USE_PALLAS", True)
+
+    def test_shape_and_descriptor_stages_pallas(self, golden, aff_params):
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             fused_detect=False, num_baum_iters=1, th=None,
+                             patch_size=32)
+        det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
+                                             desc_net=SIFTNet(patch_size=32))
+        out = det(golden["img"], params={"aff": aff_params}, describe=True)
+        assert len(out["resp"]) == len(golden["aff_resp"])
+        np.testing.assert_allclose(out["lafs"], golden["aff_lafs"],
+                                   atol=1e-2)
+        assert out["patches"].shape == golden["desc_patches"].shape
+        diff = np.abs(out["patches"] - golden["desc_patches"])
+        assert np.quantile(diff, 0.999) < 0.08
+        assert diff.max() < 3.0
+        np.testing.assert_allclose(np.linalg.norm(out["descs"], axis=1),
+                                   1.0, atol=1e-3)
+
+    def test_threshold_mode_pallas_with_fallback(self, golden, aff_params,
+                                                 monkeypatch):
+        """Threshold mode (the extract_geom CLI config) through the Pallas
+        samplers, with windows shrunk so many patches take the exact
+        fallback recompute (capacity raised to cover them all — overflow
+        would legitimately truncate)."""
+        from affnet_tpu.ops import patches as patches_mod
+        import unittest.mock as mock
+        monkeypatch.setattr(patches_mod, "_fallback_slots", lambda n: n)
+        tiny = {k: dict(v, window_rows=32) for k, v in
+                patches_mod.PALLAS_SITES.items()}
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             fused_detect=False, num_baum_iters=1, th=-1,
+                             max_keypoints=192)
+        det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast)
+        with mock.patch.dict(patches_mod.PALLAS_SITES, tiny):
+            out = det(golden["img"], params={"aff": aff_params})
+        ref = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast)
+        # Compare against the same config on the XLA path.
+        with mock.patch.object(patches_mod, "USE_PALLAS", False):
+            out_ref = ref(golden["img"], params={"aff": aff_params})
+        assert len(out["resp"]) == len(out_ref["resp"])
+        np.testing.assert_allclose(out["lafs"], out_ref["lafs"], atol=1e-2)

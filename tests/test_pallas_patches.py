@@ -186,3 +186,43 @@ def test_window_matmul_wide_buffer_tiled_layout():
     # Window-local-coordinate f32 rounding grows with the column origin
     # (documented equivalence class, ~3e-5 relative on the 0-255 scale).
     assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-2
+
+
+def test_batched_pallas_sampler_forward_and_grad():
+    """extract_patches_batched_pallas: forward matches the XLA batched
+    sampler; custom-VJP gradients (wrt LAFs and source images) match
+    jax.grad of the XLA path."""
+    from affnet_tpu.ops.pallas_patches import extract_patches_batched_pallas
+    from affnet_tpu.ops.patches import _extract_patches_batched_xla
+
+    rng = np.random.RandomState(11)
+    n, h = 16, 64
+    imgs = jnp.asarray(rng.uniform(0, 1, (n, h, h)).astype(np.float32))
+    base = np.tile(np.array([[0.5, 0.0, 0.5], [0.0, 0.5, 0.5]], np.float32),
+                   (n, 1, 1))
+    pert = (rng.uniform(-0.15, 0.15, (n, 2, 2))).astype(np.float32)
+    lafs = base.copy()
+    lafs[:, :2, :2] += pert
+    lafs = jnp.asarray(lafs)
+
+    ref = _extract_patches_batched_xla(imgs, lafs, ps=32)
+    got = extract_patches_batched_pallas(imgs, lafs, ps=32)
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 5e-5
+
+    wgt = jnp.asarray(rng.uniform(-1, 1, (n, 32, 32)).astype(np.float32))
+
+    def loss_p(l, im):
+        return (extract_patches_batched_pallas(im, l, ps=32) * wgt).sum()
+
+    def loss_x(l, im):
+        return (_extract_patches_batched_xla(im, l, ps=32) * wgt).sum()
+
+    gp_l, gp_i = jax.grad(loss_p, argnums=(0, 1))(lafs, imgs)
+    gx_l, gx_i = jax.grad(loss_x, argnums=(0, 1))(lafs, imgs)
+    # LAF grads: the custom bwd uses the flat-pyramid formulation while the
+    # XLA path ADs through the vmap formulation — same function, different
+    # fp association (measured 3e-5 relative).  Image grads are bitwise
+    # equal (identical scatter-add).
+    np.testing.assert_allclose(np.asarray(gp_l), np.asarray(gx_l),
+                               rtol=5e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(gp_i), np.asarray(gx_i))
