@@ -6,28 +6,32 @@ hot path (reference: LAF.py:364-390).  The XLA gather costs ~6.6 ns per
 corner fetch regardless of locality (measured; see CLAUDE.md) and dominated
 ~45% of the pipeline.  This kernel exploits the spatial coherence of a patch:
 
-  1. Per patch, a small window of the row-padded pyramid buffer around the
-     patch's sample extent is copied HBM->VMEM with ONE manually issued,
-     double-buffered strided DMA (origins are element-granular, quantized
-     only to the (8, 128) VMEM tile).  An earlier variant fetched each
-     window as a kr x kc grid of BlockSpec blocks; at ~0.5 us per DMA issue
-     the 24 blocks/window made DMA issue the bottleneck (measured 22 ms for
-     2000 windows vs ~1 ms single-DMA).
+  1. The pyramid buffer is laid out in overlapping COLUMN TILES (tile_w at
+     tile_stride = 2*QC), stacked vertically, so each patch's window is ONE
+     contiguous HBM band fetched by a double-buffered DMA (origins are
+     element-granular, quantized to the (8, 128) VMEM tile).  Earlier
+     variants measured: kr x kc BlockSpec blocks — DMA-issue-bound at
+     ~0.5 us/issue; strided (RW-segment) windows — ~70 ns/segment; full-
+     width row bands — 4-7x the needed bytes.
   2. Bilinear sampling becomes dense MXU math instead of scattered loads:
      for sample s at (u_s, v_s),
 
         patch[s] = sum_{r,c} R[s,r] * C[s,c] * win[r,c]
 
-     with R[s,r] = max(0, 1 - |r - v_s|) * (r in level rows)   (tent = exact
-     bilinear row weight), C likewise over columns.  Computed as one
-     (S, RW) @ (RW, CW) matmul + a (S, CW) weighted row-reduce, all f32.
-     Zero-padding semantics ("out-of-bounds corners contribute zero",
-     torch grid_sample padding_mode='zeros') fold into the tent masks.
+     with R[s,r] = max(0, 1 - |r - v_s|) (tent = exact bilinear row
+     weight), C likewise over columns; the level-bound masks ("out-of-bounds
+     corners contribute zero", torch grid_sample padding_mode='zeros') are
+     folded into the window once per patch.  Computed as one
+     (S, RW) @ (RW, CW) matmul + a (S, CW) weighted row-reduce, f32
+     accumulation (bf16 operands in fast mode).
 
-Patches whose sample extent exceeds the static window (rare: the pyramid
-level selection bounds extents by ~PS * sigma) are recomputed exactly by the
-XLA gather path on a small fixed-size compacted batch and scattered back
-(``extract_patches_window_matmul``).
+Patches whose sample extent exceeds the static window are recomputed
+exactly by the XLA gather path on a small fixed-size compacted batch and
+scattered back — the whole recompute hides behind lax.cond(n_miss > 0), and
+capacity overflows are COUNTED and surfaced (no silent truncation).  The
+descriptor site additionally buckets extent-sorted patches into three
+window classes (ops/patches.py DESC_BUCKETS); a custom-VJP batched variant
+(:func:`extract_patches_batched_pallas`) serves the training warps.
 
 Equivalence with the XLA path is exact up to f32 rounding of the bilinear
 fractions (the kernel computes them in window-local coordinates, the XLA
