@@ -579,3 +579,46 @@ def extract_patches_batched_pallas(imgs: Array, lafs: Array, ps: int = 32,
     n, h, w = imgs.shape
     buf2d = imgs.reshape(n * h, w)
     return _batched_sample_diff(buf2d, lafs, ps, align_corners, n, (h, w))
+
+
+def make_pyramid_sampler_diff(row_offsets, heights, widths, ps: int,
+                              align_corners: bool):
+    """Differentiable pyramid sampler factory (shape optimization: the LAFs
+    are the optimization variable and the level assignment depends on them,
+    so the level index is an argument, carried as f32 with a zero cotangent
+    — level choice is a discrete a.e.-constant function, gradient 0, which
+    matches the XLA path where the int index gets no gradient).
+
+    Forward = Pallas gather-as-matmul; backward = VJP of the XLA
+    formulation wrt (buffer, lafs).  The level tables are closed over
+    (host-constant arrays)."""
+    from .patches import extract_patches_from_flat_pyramid
+
+    def _fwd_compute(buf2d, lafs, lvl_f):
+        lvl = lvl_f.astype(jnp.int32)
+        n = lafs.shape[0]
+        return extract_patches_window_matmul(
+            buf2d, lafs, lvl, row_offsets, heights, widths, ps=ps,
+            align_corners=align_corners, window_rows=256, window_cols=384,
+            patches_per_step=8, fallback_slots=max(16, n // 16))
+
+    @jax.custom_vjp
+    def sample(buf2d, lafs, lvl_f):
+        return _fwd_compute(buf2d, lafs, lvl_f)
+
+    def fwd(buf2d, lafs, lvl_f):
+        return _fwd_compute(buf2d, lafs, lvl_f), (buf2d, lafs, lvl_f)
+
+    def bwd(res, g):
+        buf2d, lafs, lvl_f = res
+        lvl = lvl_f.astype(jnp.int32)
+        _, vjp = jax.vjp(
+            lambda b, l: extract_patches_from_flat_pyramid(
+                b, l, lvl, row_offsets, heights, widths, ps=ps,
+                align_corners=align_corners),
+            buf2d, lafs)
+        db, dl = vjp(g)
+        return db, dl, jnp.zeros_like(lvl_f)
+
+    sample.defvjp(fwd, bwd)
+    return sample

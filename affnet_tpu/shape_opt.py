@@ -74,11 +74,20 @@ class LAFShapeOptimizer:
 
         opt = optax.adam(self.lr)
 
+        from .ops import patches as patches_mod
+
         def patches_for(A, t, flat, dims, table, wh):
             dlafs = jnp.concatenate([A, t], axis=2)
             lvl = select_levels_for_lafs(dlafs, table, self.ps)
             nlafs = normalize_lafs(dlafs, wh[1], wh[0])
             offs, hs, ws = dims
+            if patches_mod.USE_PALLAS:
+                # Pallas forward with the custom VJP (exact XLA-path
+                # gradients); the level index rides as f32, zero cotangent.
+                from .ops.pallas_patches import make_pyramid_sampler_diff
+                sampler = make_pyramid_sampler_diff(
+                    offs, hs, ws, self.ps, self.align_corners)
+                return sampler(flat, nlafs, lvl.astype(jnp.float32))
             return extract_patches_from_flat_pyramid(
                 flat, nlafs, lvl, offs, hs, ws, ps=self.ps,
                 align_corners=self.align_corners)

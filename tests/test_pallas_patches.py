@@ -226,3 +226,39 @@ def test_batched_pallas_sampler_forward_and_grad():
     np.testing.assert_allclose(np.asarray(gp_l), np.asarray(gx_l),
                                rtol=5e-4, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(gp_i), np.asarray(gx_i))
+
+
+def test_pyramid_sampler_diff_grad():
+    """make_pyramid_sampler_diff (shape-opt path): Pallas forward matches
+    XLA; custom-VJP grads wrt (buffer, lafs) match the XLA AD; the f32
+    level index gets a zero cotangent."""
+    from affnet_tpu.ops.pallas_patches import make_pyramid_sampler_diff
+
+    rng = np.random.RandomState(21)
+    shapes = [(96, 128), (48, 64)]
+    buf, offs, hs, ws = _fake_pyramid(rng, shapes)
+    n = 16
+    lafs = _random_lafs(rng, n, (0.05, 0.2))
+    lvl_f = jnp.asarray(rng.randint(0, 2, n).astype(np.float32))
+    sampler = make_pyramid_sampler_diff(offs, hs, ws, 19, False)
+
+    ref = extract_patches_from_flat_pyramid(
+        buf, lafs, lvl_f.astype(jnp.int32), offs, hs, ws, ps=19)
+    got = sampler(buf, lafs, lvl_f)
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 5e-3
+
+    wgt = jnp.asarray(rng.uniform(-1, 1, (n, 19, 19)).astype(np.float32))
+
+    def loss_p(b, l, lf):
+        return (sampler(b, l, lf) * wgt).sum()
+
+    def loss_x(b, l, lf):
+        return (extract_patches_from_flat_pyramid(
+            b, l, lf.astype(jnp.int32), offs, hs, ws, ps=19) * wgt).sum()
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(buf, lafs, lvl_f)
+    gx = jax.grad(loss_x, argnums=(0, 1))(buf, lafs, lvl_f)
+    np.testing.assert_array_equal(np.asarray(gp[0]), np.asarray(gx[0]))
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               rtol=5e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(gp[2]), 0.0)
