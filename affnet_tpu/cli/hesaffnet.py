@@ -57,7 +57,6 @@ def main(argv=None):
     from ..models.convert import load_pretrained
     from ..io_formats import write_ells
 
-    img = load_gray(args.input_image)
     cfg = DetectorConfig(
         num_features=args.nfeats, border=5, mr_size=5.192, num_baum_iters=1,
         th=None if args.topk else args.th, max_keypoints=args.max_keypoints,
@@ -75,7 +74,15 @@ def main(argv=None):
         import os
         import jax.numpy as jnp
         from ..parallel import make_mesh, make_sharded_image_pipeline
-        imgs = np.stack([load_gray(p) for p in paths])
+        loaded = [load_gray(p) for p in paths]
+        shapes = {im.shape for im in loaded}
+        if len(shapes) > 1:
+            raise SystemExit(
+                "--mesh bulk mode shards one XLA program over same-shape "
+                f"images, but the inputs have {len(shapes)} distinct sizes "
+                f"{sorted(shapes)}; resize them to a common size or run "
+                "per-shape groups")
+        imgs = np.stack(loaded)
         mesh = make_mesh(args.mesh)
         n = mesh.devices.size
         pad = (-len(imgs)) % n

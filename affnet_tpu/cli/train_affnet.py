@@ -26,6 +26,9 @@ def build_parser():
     p.add_argument("--resume", default="", type=str)
     p.add_argument("--start-epoch", default=0, type=int)
     p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--total-epochs", type=int, default=0,
+                   help="epochs spanned by the LR decay when a run is "
+                        "split into resumed chunks (0 = --epochs)")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--n-pairs", type=int, default=500000)
     p.add_argument("--lr", type=float, default=0.005)
@@ -91,7 +94,8 @@ def main(argv=None):
                       loss=args.loss, lr=args.lr, wd=args.wd,
                       batch_size=args.batch_size, n_pairs=args.n_pairs,
                       epochs=args.epochs, log_interval=args.log_interval,
-                      seed=args.seed)
+                      seed=args.seed,
+                      total_epochs=args.total_epochs or None)
     suffix = (f"{args.expname}_{args.arch}_6Brown_{args.descriptor}_"
               f"{args.lr}_{args.n_pairs}_{args.loss}")
     log_dir = os.path.join(args.log_dir, suffix)
@@ -125,7 +129,9 @@ def main(argv=None):
             from .eval_graf import main as eval_main
             from ..train import save_checkpoint
             ckpt = os.path.join(log_dir, f"checkpoint_{epoch}.npz")
-            save_checkpoint(ckpt, params, epoch)
+            # epoch+1 = resume start (same convention as the
+            # train-loop checkpoint this overwrites).
+            save_checkpoint(ckpt, params, epoch + 1)
             print(f"[graf eval epoch {epoch}]")
             eval_argv = ["--nfeats", "1000", "--img2-idx", "3",
                          "--descriptor", "SIFT",

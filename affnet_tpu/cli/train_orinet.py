@@ -61,7 +61,9 @@ def main(argv=None):
             from .eval_graf import main as eval_main
             from ..train import save_checkpoint
             ckpt = os.path.join(log_dir, f"checkpoint_{epoch}.npz")
-            save_checkpoint(ckpt, params, epoch)
+            # epoch+1 = resume start (same convention as the
+            # train-loop checkpoint this overwrites).
+            save_checkpoint(ckpt, params, epoch + 1)
             print(f"[graf eval epoch {epoch}]")
             eval_argv = ["--nfeats", "1000", "--img2-idx", "3",
                          "--descriptor", "SIFT", "--do-ori",

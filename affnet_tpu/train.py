@@ -58,6 +58,12 @@ class TrainConfig:
     log_interval: int = 10
     seed: int = 0
     patch_size: int = 32
+    # Epochs spanned by the linear LR decay; defaults to ``epochs``.  Set
+    # when a long run is split into several resumed processes (the axon
+    # runtime leaks ~33 MB of host staging per train-step dispatch —
+    # measured OOM at 130 GB after ~3900 steps — so long runs restart every
+    # few epochs) so the GLOBAL schedule is preserved across chunks.
+    total_epochs: Optional[int] = None
 
 
 # ---------------------------------------------------------------------------
@@ -118,8 +124,8 @@ def sgd_update(params: Params, grads: Params, momentum_buf: Params,
 def lr_at_step(step, cfg: TrainConfig):
     """Linear decay: lr0 * (1 - step * bs / (n_pairs * epochs))
     (train_AffNet...py:341-352)."""
-    frac = step.astype(jnp.float32) * cfg.batch_size / (cfg.n_pairs
-                                                        * float(cfg.epochs))
+    span = float(cfg.total_epochs or cfg.epochs)
+    frac = step.astype(jnp.float32) * cfg.batch_size / (cfg.n_pairs * span)
     return cfg.lr * (1.0 - frac)
 
 
@@ -349,9 +355,13 @@ def train_loop(model, dataset, cfg: TrainConfig, log_dir: str = "./logs",
 
     params = start_params if start_params is not None \
         else model.init(jax.random.PRNGKey(cfg.seed))
+    # Resume at the global step so the linear LR decay continues where the
+    # previous chunk stopped; fold the start epoch into the augmentation
+    # stream so resumed chunks do not replay the same random warps.
+    start_step = start_epoch * (cfg.n_pairs // cfg.batch_size)
     state = TrainState(params, init_momentum(params),
-                       jnp.asarray(0, jnp.int32))
-    key = jax.random.PRNGKey(cfg.seed)
+                       jnp.asarray(start_step, jnp.int32))
+    key = jax.random.PRNGKey(cfg.seed + 7919 * start_epoch)
 
     from .utils import MetricsLogger
     logger = MetricsLogger(os.path.join(log_dir, "metrics.jsonl"))

@@ -103,3 +103,20 @@ class TestCLISmoke:
         assert 10 < len(ells) <= 40
         # a*c - b^2 > 0: valid ellipse forms.
         assert ((ells[:, 2] * ells[:, 4] - ells[:, 3] ** 2) > 0).all()
+
+
+def test_hesaffnet_mesh_mixed_sizes_clear_error(tmp_path):
+    """--mesh bulk mode requires same-shape images; mixed sizes must raise
+    a clear SystemExit, not a numpy stack error."""
+    import os
+    import numpy as np
+    import pytest
+    from PIL import Image
+    from affnet_tpu.cli.hesaffnet import main as hesaffnet_main
+    p1 = os.path.join(tmp_path, "a.png")
+    p2 = os.path.join(tmp_path, "b.png")
+    Image.fromarray(np.zeros((40, 50), np.uint8)).save(p1)
+    Image.fromarray(np.zeros((30, 60), np.uint8)).save(p2)
+    out = os.path.join(tmp_path, "out.txt")
+    with pytest.raises(SystemExit, match="same-shape"):
+        hesaffnet_main([f"{p1},{p2}", out, "100", "--mesh", "2"])
