@@ -167,11 +167,16 @@ def extract_patches_batched(imgs: Array, lafs: Array, ps: int = 32,
     Used by the training augmentation path (train_AffNet_test_on_graffity.py:
     176-188) where each LAF warps its own source patch.
 
-    With USE_PALLAS the forward runs the Pallas gather-as-matmul sampler
-    through its custom VJP (backward = VJP of the XLA formulation below, so
-    gradients are exact for the same sampling function); otherwise it is the
-    stacked (N*H, W)-buffer XLA gather."""
-    if USE_PALLAS:
+    With USE_PALLAS_BATCHED the forward runs the Pallas gather-as-matmul
+    sampler through its custom VJP (backward = VJP of the XLA formulation
+    below, so gradients are exact for the same sampling function); the
+    default is the stacked (N*H, W)-buffer XLA gather.  Default OFF: the
+    training rewarp transform is a raw network output with unbounded
+    extent, and patches past the static window + fallback capacity would
+    feed truncated samples into the gradient (a resumed bs-1024 training
+    run went NaN within ~30 steps with it enabled); turn it on for
+    bounded-extent workloads."""
+    if USE_PALLAS_BATCHED:
         from .pallas_patches import extract_patches_batched_pallas
         return extract_patches_batched_pallas(imgs, lafs, ps=ps,
                                               align_corners=align_corners)
@@ -228,6 +233,10 @@ DESC_BUCKETS = (
 
 def _fallback_slots(n: int) -> int:
     return min(n, max(32, n // 16))
+
+# Differentiable batched sampler switch (training warps); see
+# extract_patches_batched for why it defaults off.
+USE_PALLAS_BATCHED = False
 
 # Master switch for the Pallas sampler on the pyramid path.  Tests on the
 # CPU backend turn this off globally (interpret-mode one-hot matmuls at
