@@ -12,7 +12,6 @@ Usage: python -m affnet_tpu.cli.profile_pipeline [img.png] [--nfeats 2000]
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
 

@@ -15,7 +15,6 @@ response map before the top-k (same surviving set).
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

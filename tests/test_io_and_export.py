@@ -1,8 +1,6 @@
 """IO format round-trips, model export round-trip, CLI smoke tests."""
 
 import os
-import subprocess
-import sys
 
 import numpy as np
 import jax

@@ -8,11 +8,8 @@ orientation, and a descriptor, composed like the internal pipeline.
 import os
 
 import numpy as np
-import jax.numpy as jnp
-import pytest
 
-from affnet_tpu.keypoints import (describe_keypoints, lafs_from_keypoints,
-                                  process_keypoints)
+from affnet_tpu.keypoints import describe_keypoints, lafs_from_keypoints
 from affnet_tpu.models import AffNetFast, OriNetFast32, SIFTNet
 from affnet_tpu.models.convert import load_pretrained
 
