@@ -94,7 +94,7 @@ def _chunking(ps: int, chunk_samples: int) -> Tuple[int, int, int]:
 def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
                     *, ps: int, p: int, rw: int, cw: int, fetch_cols: int,
                     n_steps: int, chunk_samples: int, ga: float, gb: float,
-                    mxu_dtype):
+                    mxu_dtype, fold_masks: bool = True):
     """Grid step = P patches.  blk/meta are scalar-prefetch (SMEM) tables:
     per-patch window origins (element-granular) and sampling parameters.
     buf_ref stays in HBM; windows are copied into the (2, P, RW, fetch_cols)
@@ -165,16 +165,19 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
         ylo = meta_ref[base + 7]
         yhi = meta_ref[base + 8]
 
-        # Fold the level-bound masks into the window ONCE per patch (the
-        # product distributes: zeroing window rows/cols == zeroing tent
-        # entries) — per-sample tent masking cost 2x the VPU work of the
-        # whole tent construction at desc-window sizes.
-        wrow = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 0) \
-            .astype(jnp.float32)
-        wcol = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 1) \
-            .astype(jnp.float32)
-        ok = (wrow >= ylo) & (wrow <= yhi) & (wcol <= xhi)
-        window = jnp.where(ok, window, 0.0).astype(mxu_dtype)
+        if fold_masks:
+            # Fold the level-bound masks into the window ONCE per patch (the
+            # product distributes: zeroing window rows/cols == zeroing tent
+            # entries) — per-sample tent masking cost 2x the VPU work of the
+            # whole tent construction at desc-window sizes.
+            wrow = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 0) \
+                .astype(jnp.float32)
+            wcol = jax.lax.broadcasted_iota(jnp.int32, (rw, cw), 1) \
+                .astype(jnp.float32)
+            ok = (wrow >= ylo) & (wrow <= yhi) & (wcol <= xhi)
+            window = jnp.where(ok, window, 0.0).astype(mxu_dtype)
+        else:
+            window = window.astype(mxu_dtype)
 
         def chunk_body(ck, _):
             # fori_loop (not unrolled) so the chunk transients are a single
@@ -189,6 +192,9 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
 
             rw_t = jnp.maximum(0.0, 1.0 - jnp.abs(r_ids - v))
             cw_t = jnp.maximum(0.0, 1.0 - jnp.abs(c_ids - u))
+            if not fold_masks:
+                rw_t = jnp.where((r_ids >= ylo) & (r_ids <= yhi), rw_t, 0.0)
+                cw_t = jnp.where(c_ids <= xhi, cw_t, 0.0)
 
             # mxu_dtype=bf16 runs the row-gather matmul at 4x MXU rate with
             # f32 accumulation (fast mode: ~1 grey-level patch error).
@@ -222,7 +228,7 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
 @functools.partial(jax.jit, static_argnames=(
     "ps", "align_corners", "window_rows", "window_cols", "patches_per_step",
     "fallback_slots", "chunk_samples", "mxu_dtype", "interpret", "n_buffers",
-    "return_miss_overflow"))
+    "return_miss_overflow", "fold_masks"))
 def _window_matmul_jit(buf2d: Array, lafs: Array,
                                   level_idx: Array, row_offsets: Array,
                                   heights: Array, widths: Array,
@@ -235,7 +241,8 @@ def _window_matmul_jit(buf2d: Array, lafs: Array,
                                   mxu_dtype=jnp.float32,
                                   interpret: bool = False,
                                   n_buffers: int = 2,
-                                  return_miss_overflow: bool = False):
+                                  return_miss_overflow: bool = False,
+                                  fold_masks: bool = True):
     """Drop-in replacement for patches.extract_patches_from_flat_pyramid.
 
     With ``return_miss_overflow`` returns ``(patches, n_overflow)`` where
@@ -374,7 +381,7 @@ def _window_matmul_jit(buf2d: Array, lafs: Array,
         kernel = functools.partial(
             _sampler_kernel, ps=ps, p=p, rw=rw, cw=cw, fetch_cols=fetch_cols,
             n_steps=n_steps, chunk_samples=chunk_samples, ga=ga, gb=gb,
-            mxu_dtype=mxu_dtype)
+            mxu_dtype=mxu_dtype, fold_masks=fold_masks)
         flats.append(pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
