@@ -46,7 +46,7 @@ def main(argv=None):
     import jax
     from ..detector import DetectorConfig
     from ..onepass import OnePassSIR
-    from ..laf import lafs_to_ells
+    from ..laf import lafs_to_ells_host
     from ..models import HardNet, OriNetFast32, SIFTNet
     from ..models.convert import load_params_npz, load_pretrained
     from ..io_formats import write_ells
@@ -78,7 +78,7 @@ def main(argv=None):
               describe=desc_net is not None)
     print(f"det time = {time.time() - t0:.3f}")
     t0 = time.time()
-    ells = np.asarray(lafs_to_ells(out["lafs"]))
+    ells = np.asarray(lafs_to_ells_host(out["lafs"]))
     print(f"LAFs2ell time = {time.time() - t0:.3f}")
     write_ells(args.output_fname, ells)
     if args.save_lafs:

@@ -52,7 +52,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..detector import DetectorConfig, ScaleSpaceAffinePatchExtractor
-    from ..laf import lafs_to_ells
+    from ..laf import lafs_to_ells_host
     from ..models import AffNetFast, OriNetFast32
     from ..models.convert import load_pretrained
     from ..io_formats import write_ells
@@ -95,7 +95,7 @@ def main(argv=None):
         base, ext = os.path.splitext(args.output_fname)
         for i in range(len(paths)):
             valid = np.asarray(out["valid"][i])
-            ells = np.asarray(lafs_to_ells(
+            ells = np.asarray(lafs_to_ells_host(
                 np.asarray(out["lafs"][i])[valid]))
             fname = f"{base}_{i}{ext}"
             write_ells(fname, ells)
@@ -104,7 +104,7 @@ def main(argv=None):
 
     img = load_gray(paths[0])
     out = det(img, params=params, do_ori=args.do_ori)
-    ells = np.asarray(lafs_to_ells(out["lafs"]))
+    ells = np.asarray(lafs_to_ells_host(out["lafs"]))
     write_ells(args.output_fname, ells)
     print(f"{len(ells)} affine regions -> {args.output_fname}")
 

@@ -274,6 +274,17 @@ def lafs_to_ells(LAFs: Array) -> Array:
                       E[..., 0, 0], E[..., 0, 1], E[..., 1, 1]], -1)
 
 
+def lafs_to_ells_host(lafs: "np.ndarray") -> "np.ndarray":
+    """Host-side ells conversion for CLI output paths: eager jnp ops on a
+    numpy input dispatch to the default (TPU) backend one op at a time
+    through the axon tunnel (~15 s for 5000 LAFs, measured); pinning the
+    computation to the CPU backend makes it milliseconds."""
+    import numpy as np
+    import jax
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(lafs_to_ells(jnp.asarray(np.asarray(lafs))))
+
+
 def ells_to_lafs(ells: Array) -> Array:
     """(N, 5) Oxford ellipses -> (N, 2, 3) upright LAFs.
     Reference: LAF.py:76-89."""
