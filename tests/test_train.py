@@ -261,3 +261,48 @@ class TestData:
         assert patches.shape == (40, 64, 64)
         np.testing.assert_array_equal(labs, labels)
         np.testing.assert_array_equal(patches[1], sheet[0:64, 64:128])
+
+
+def test_chunked_resume_lr_schedule_continuity():
+    """Splitting a run into resumed chunks must continue the global linear
+    LR decay: lr at (chunk start_epoch e, step 0) == lr of the unsplit run
+    at global step e * steps_per_epoch (TrainConfig.total_epochs +
+    train_loop's start_step)."""
+    import jax.numpy as jnp
+    from affnet_tpu.train import TrainConfig, lr_at_step
+
+    full = TrainConfig(lr=0.005, batch_size=1024, n_pairs=500000, epochs=20)
+    chunk = TrainConfig(lr=0.005, batch_size=1024, n_pairs=500000, epochs=4,
+                        total_epochs=20)
+    steps_per_epoch = full.n_pairs // full.batch_size
+    for e0 in (0, 7, 16):
+        gstep = jnp.asarray(e0 * steps_per_epoch)
+        np.testing.assert_allclose(float(lr_at_step(gstep, chunk)),
+                                   float(lr_at_step(gstep, full)), rtol=1e-6)
+    # Without total_epochs a 4-epoch config would decay 5x too fast.
+    alone = TrainConfig(lr=0.005, batch_size=1024, n_pairs=500000, epochs=4)
+    g = jnp.asarray(2 * steps_per_epoch)
+    assert float(lr_at_step(g, alone)) < float(lr_at_step(g, chunk))
+
+
+def test_train_loop_resume_starts_at_global_step(tmp_path):
+    """train_loop with start_epoch resumes the step counter (and hence the
+    LR) at the global position, and varies the augmentation RNG stream."""
+    import jax
+    import jax.numpy as jnp
+    from affnet_tpu.models import AffNetFast
+    from affnet_tpu.train import TrainConfig, train_loop
+
+    class TinyData:
+        def batches(self):
+            rng = np.random.RandomState(0)
+            for _ in range(2):
+                yield (rng.rand(8, 64, 64).astype(np.float32),
+                       rng.rand(8, 64, 64).astype(np.float32))
+
+    cfg = TrainConfig(batch_size=8, n_pairs=16, epochs=1, total_epochs=10,
+                      descriptor="pixels", loss="PosDist", log_interval=100)
+    state = train_loop(AffNetFast, TinyData(), cfg,
+                       log_dir=str(tmp_path), start_epoch=3)
+    # 3 epochs x (16/8) steps skipped + 2 executed.
+    assert int(state.step) == 3 * 2 + 2
