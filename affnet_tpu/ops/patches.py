@@ -232,7 +232,10 @@ DESC_BUCKETS = (
 
 
 def _fallback_slots(n: int) -> int:
-    return min(n, max(32, n // 16))
+    # Scales with the patch count (ADVICE r2: a fixed 192 sized on one
+    # bench image could silently truncate); kept modest because the
+    # passthrough gather + scatter of the slots runs even at zero misses.
+    return min(n, max(32, n // 64))
 
 # Differentiable batched sampler switch (training warps); see
 # extract_patches_batched for why it defaults off.
