@@ -70,11 +70,17 @@ def _single_level_tables(h: int, w: int):
 
 
 def _extract(img2d, lafs, ps, site):
+    """Single-level extraction.  Unlike the pyramid path (extents bounded
+    by level selection), external-keypoint extents are unbounded (~3*size px
+    at mr_size=6), so every window miss must be recoverable: fallback slots
+    = n (the recompute hides behind lax.cond at zero misses) and the
+    overflow count is surfaced so describe_keypoints can warn (ADVICE r3)."""
     h, w = img2d.shape
     offs, hs, ws = _single_level_tables(h, w)
     lvl = jnp.zeros((lafs.shape[0],), jnp.int32)
     return extract_patches_pyramid(img2d, lafs, lvl, offs, hs, ws, ps=ps,
-                                   site=site)
+                                   site=site, fallback_slots=lafs.shape[0],
+                                   return_miss_overflow=True)
 
 
 def process_keypoints(img: Array, lafs: Array,
@@ -88,8 +94,10 @@ def process_keypoints(img: Array, lafs: Array,
     params = params or {}
     out = {}
     cur = lafs
+    n_overflow = jnp.zeros((), jnp.int32)
     if shape_net is not None:
-        patches = _extract(img, cur, shape_net.ps, "shape")
+        patches, ovf = _extract(img, cur, shape_net.ps, "shape")
+        n_overflow = n_overflow + ovf
         A = shape_net(params.get("aff"), patches)
         # det-1 upright shape (the notebook rescales by get_laf_scale and
         # make_upright; our AffNet head already rectifies upright).
@@ -98,15 +106,18 @@ def process_keypoints(img: Array, lafs: Array,
         out["shape"] = A
         cur = jnp.concatenate([A @ cur[:, :, :2], cur[:, :, 2:]], axis=2)
     if ori_net is not None:
-        patches = _extract(img, cur, ori_net.ps, "ori")
+        patches, ovf = _extract(img, cur, ori_net.ps, "ori")
+        n_overflow = n_overflow + ovf
         rot = ori_net(params.get("ori"), patches, return_rot_matrix=True)
         out["angle"] = jnp.rad2deg(jnp.arctan2(rot[:, 1, 0], rot[:, 0, 0]))
         cur = jnp.concatenate([cur[:, :, :2] @ rot, cur[:, :, 2:]], axis=2)
     out["lafs"] = cur
     if desc_net is not None:
-        patches = _extract(img, cur, 32, "desc")
+        patches, ovf = _extract(img, cur, 32, "desc")
+        n_overflow = n_overflow + ovf
         out["patches"] = patches
         out["descs"] = desc_net(params.get("desc"), patches)
+    out["n_overflow"] = n_overflow
     return out
 
 
@@ -131,5 +142,12 @@ def describe_keypoints(img, x, y, scale, angle=None,
     lafs = lafs_from_keypoints(x, y, scale, angle, (h, w), mr_size)
     fn = _jitted_process(h, w, lafs.shape[0], shape_net, ori_net, desc_net)
     out = dict(fn(params or {}, img, lafs))
+    n_overflow = int(out.pop("n_overflow", 0))
+    if n_overflow > 0:
+        import warnings
+        warnings.warn(
+            f"describe_keypoints: {n_overflow} patch-window misses exceeded "
+            "the fallback capacity and kept truncated samples (keypoint "
+            "extents beyond the window classes)")
     out["lafs"] = denormalize_lafs(out["lafs"], w, h)
     return {k: np.asarray(v) for k, v in out.items()}

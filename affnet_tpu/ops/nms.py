@@ -277,7 +277,11 @@ def masked_topk(values: Array, k: int) -> Tuple[Array, Array, Array]:
     (ties broken by lowest flat index) but bandwidth-bound instead of
     sort-bound (the 1080p detection top-k was 14.4 ms as a flat
     PartialReduce; see tests/test_utils.py for the tie-equivalence tests)."""
-    if values.size > (1 << 18) and k * 4 <= values.size and k >= 1:
+    # The two-stage pass can only surface ceil(n/ROW_S)*M_CAND candidates;
+    # k beyond that (e.g. --max-keypoints 8192 on a mid-size image) must
+    # take the full sort or lax.top_k(cand_v, k) errors at trace time.
+    n_cand = (-(-values.size // ROW_S)) * M_CAND
+    if values.size > (1 << 18) and 1 <= k <= n_cand:
         vals, idxs = _two_stage_topk(values, k)
         return vals, idxs, vals > 0
     vals, idxs = jax.lax.top_k(values, k)

@@ -112,8 +112,11 @@ def gaussian_blur_pallas(img: Array, sigma: float, py2: bool = False,
     if interpret is None:
         interpret = INTERPRET
     k = gauss_kernel_1d(sigma, py2=py2)
-    # Vertical tap rows must stay inside the 3-tile band: pad <= TILE_H.
-    if len(k) // 2 > TILE_H or img.shape[0] < 2 or img.shape[1] < 2:
+    # Vertical tap rows must stay inside the 3-tile band (pad <= TILE_H) and
+    # horizontal taps inside the row width (pltpu.roll shifts must be
+    # non-negative: w - off < 0 when the radius exceeds the image width).
+    if (len(k) // 2 > TILE_H or len(k) // 2 >= img.shape[1]
+            or img.shape[0] < 2 or img.shape[1] < 2):
         from .scalespace import gaussian_blur_xla
         return gaussian_blur_xla(img, sigma, py2=py2)
     return _blur_call(img, tuple(float(t) for t in k), interpret)

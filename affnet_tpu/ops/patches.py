@@ -254,7 +254,8 @@ def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
                             site: str = "desc",
                             mxu_dtype=None,
                             assume_extent_sorted: bool = False,
-                            return_miss_overflow: bool = False):
+                            return_miss_overflow: bool = False,
+                            fallback_slots=None):
     """Pyramid patch extraction: Pallas gather-as-matmul kernel when enabled,
     else the XLA flat-gather path (both numerically equivalent; see
     tests/test_pallas_patches.py).  ``mxu_dtype=jnp.bfloat16`` selects the
@@ -268,8 +269,13 @@ def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
 
     ``return_miss_overflow``: also return the count of fallback-capacity
     overflows (patches left with truncated samples); callers should warn
-    when it is nonzero."""
+    when it is nonzero.
+
+    ``fallback_slots``: override the default miss-capacity sizing; callers
+    with unbounded extent distributions (external keypoints, single-level
+    images) should pass n so a window miss can never truncate."""
     n = lafs.shape[0]
+    slots = _fallback_slots(n) if fallback_slots is None else min(n, int(fallback_slots))
     if USE_PALLAS:
         from .pallas_patches import (extract_patches_bucketed,
                                      extract_patches_window_matmul)
@@ -278,12 +284,12 @@ def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
             patches, ovf = extract_patches_bucketed(
                 buf2d, lafs, level_idx, row_offsets, heights, widths,
                 ps=ps, align_corners=align_corners, buckets=DESC_BUCKETS,
-                fallback_slots=_fallback_slots(n), **kw)
+                fallback_slots=slots, **kw)
         else:
             patches, ovf = extract_patches_window_matmul(
                 buf2d, lafs, level_idx, row_offsets, heights, widths,
                 ps=ps, align_corners=align_corners,
-                fallback_slots=_fallback_slots(n),
+                fallback_slots=slots,
                 return_miss_overflow=True, **PALLAS_SITES[site], **kw)
         if return_miss_overflow:
             return patches, ovf

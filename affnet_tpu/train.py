@@ -126,7 +126,9 @@ def lr_at_step(step, cfg: TrainConfig):
     (train_AffNet...py:341-352)."""
     span = float(cfg.total_epochs or cfg.epochs)
     frac = step.astype(jnp.float32) * cfg.batch_size / (cfg.n_pairs * span)
-    return cfg.lr * (1.0 - frac)
+    # Clamp: a chunked resume launched past the schedule end (start_epoch +
+    # epochs > total_epochs) would otherwise flip SGD into gradient ascent.
+    return cfg.lr * jnp.maximum(0.0, 1.0 - frac)
 
 
 # ---------------------------------------------------------------------------
@@ -344,6 +346,12 @@ def train_loop(model, dataset, cfg: TrainConfig, log_dir: str = "./logs",
                eval_fn: Optional[Callable[[Params, int], None]] = None):
     """Epoch loop with per-epoch checkpoints (+ optional graf eval hook).
     If ``mesh`` is given, the step shards the batch over it (see parallel.py)."""
+    if cfg.total_epochs is not None \
+            and start_epoch + cfg.epochs > cfg.total_epochs:
+        raise ValueError(
+            f"chunked resume past the LR schedule end: start_epoch "
+            f"{start_epoch} + epochs {cfg.epochs} > total_epochs "
+            f"{cfg.total_epochs} (the linear decay would clamp to lr=0)")
     descriptor_fn = make_descriptor(cfg.descriptor, desc_params)
     make_step = make_orinet_train_step if ori else make_affnet_train_step
     step_fn = make_step(model, descriptor_fn, cfg)

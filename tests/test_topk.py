@@ -103,3 +103,18 @@ def test_masked_topk_small_path_unchanged():
     np.testing.assert_array_equal(np.asarray(vals), [3.0, 3.0, 1.0])
     np.testing.assert_array_equal(np.asarray(idxs), [1, 3, 2])
     np.testing.assert_array_equal(np.asarray(valid), [True, True, True])
+
+
+def test_masked_topk_k_exceeds_candidate_capacity():
+    """ADVICE r3: k beyond ceil(n/1024)*16 candidates (e.g. --max-keypoints
+    8192 on a mid-size image, n ~ 0.4M) must route to the full sort instead
+    of erroring at trace time, and stay identical to lax.top_k."""
+    rng = np.random.RandomState(5)
+    n = 400_000  # > 1<<18, candidate capacity = ceil(n/1024)*16 = 6256
+    v = rng.exponential(1.0, n).astype(np.float32)
+    k = 8192
+    assert k > (-(-n // nms.ROW_S)) * nms.M_CAND
+    vals, idxs, valid = nms.masked_topk(jnp.asarray(v), k)
+    rv, ri = jax.lax.top_k(jnp.asarray(v), k)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ri))
