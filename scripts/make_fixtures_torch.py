@@ -94,12 +94,51 @@ def gaussian_blur_oracle(rng):
     print("gaussian_blur:", list(out.keys()))
 
 
+def descriptor_oracles(rng):
+    """Descriptor-CNN parity oracles (VERDICT r3 Missing #1): run the
+    reference's OWN HardNet.py classes — HardTFeatNet with the shipped
+    HardTFeat.pth weights, HardNet with seeded-random init (HardNet++.pth is
+    absent from the mount) — on fixed random patches.  The HardNet torch
+    state_dict is embedded in the npz so the JAX test converts + compares
+    without torch."""
+    import sys
+    sys.path.insert(0, REF)
+    from HardNet import HardNet, HardTFeatNet  # noqa: E402
+
+    patches = rng.rand(16, 1, 32, 32).astype(np.float32)
+    t = torch.from_numpy(patches)
+    out = {"patches": patches[:, 0]}
+
+    tfeat = HardTFeatNet(None)  # sm (SIFT) unused by the descriptor forward
+    sd = torch.load(f"{REF}/HardTFeat.pth", map_location="cpu",
+                    weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    tfeat.load_state_dict(sd, strict=False)
+    tfeat.eval()
+    with torch.no_grad():
+        out["hardtfeat_descs"] = tfeat(t).numpy()
+
+    torch.manual_seed(1234)
+    hn = HardNet()
+    hn.eval()
+    with torch.no_grad():
+        out["hardnet_descs"] = hn(t).numpy()
+    for k, v in hn.state_dict().items():
+        out[f"hardnet_sd::{k}"] = v.numpy()
+
+    np.savez(os.path.join(FIX, "descriptor_oracles.npz"), **out)
+    print("descriptor_oracles:", out["hardtfeat_descs"].shape,
+          out["hardnet_descs"].shape)
+
+
 def main():
     os.makedirs(FIX, exist_ok=True)
     rng = np.random.RandomState(42)
     jit_oracles(rng)
     grid_sample_oracle(rng)
     gaussian_blur_oracle(rng)
+    descriptor_oracles(rng)
 
 
 if __name__ == "__main__":
