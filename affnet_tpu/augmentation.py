@@ -93,12 +93,25 @@ def warp_by_predicted_transform(patches: Array, trans: Array,
                                 align_corners: bool = False) -> Array:
     """Re-warp full patches by a predicted 2x2 transform + center crop
     (extract_and_crop_patches_by_predicted_transform,
-    train_AffNet_test_on_graffity.py:165-174)."""
+    train_AffNet_test_on_graffity.py:165-174).
+
+    For the default align_corners=False grid, the center crop of the full
+    ps=h warp EQUALS sampling at ps=crop_size with the linear part scaled by
+    crop_size/h (the cropped grid rows are exactly the half-scale grid;
+    verified bit-exact) — 4x fewer samples, and the halved extents keep the
+    predicted (unbounded) transform inside the Pallas sampler's static
+    window for everything but pathological outliers."""
     from .ops.patches import extract_patches_batched
     n, h, w = patches.shape
+    base = _base_lafs(n, patches.dtype)
+    if not align_corners and (h - crop_size) % 2 == 0:
+        scale = crop_size / h
+        lafs = jnp.concatenate([scale * (trans @ base[:, 0:2, 0:2]),
+                                base[:, 0:2, 2:]], axis=2)
+        return extract_patches_batched(patches, lafs, ps=crop_size,
+                                       align_corners=False)
     st = (h - crop_size) // 2
     fin = st + crop_size
-    base = _base_lafs(n, patches.dtype)
     lafs = jnp.concatenate([trans @ base[:, 0:2, 0:2], base[:, 0:2, 2:]],
                            axis=2)
     out = extract_patches_batched(patches, lafs, ps=h,

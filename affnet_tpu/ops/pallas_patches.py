@@ -543,11 +543,16 @@ def _batched_sample_diff(buf2d, lafs, ps, align_corners, n, hw):
     paid; the LAF gradient is a small per-patch reduction."""
     h, w = hw
     row_off, heights, widths = _batched_tables(n, h, w)
+    # fallback_slots = n: the training rewarp transform is a raw network
+    # output with unbounded extent, so EVERY window miss must take the exact
+    # recompute — truncated samples in the gradient NaN'd training (r3).
+    # At training scales (n <= 1-2k, ps = 32-64) the zero-miss passthrough
+    # copy is a few MB — noise next to the step.
     return extract_patches_window_matmul(
         buf2d, lafs, jnp.arange(n, dtype=jnp.int32), row_off, heights,
         widths, ps=ps, align_corners=align_corners,
         window_rows=-(-int(1.75 * h) // 8) * 8, window_cols=2 * QC,
-        patches_per_step=8, fallback_slots=max(8, n // 32))
+        patches_per_step=8, fallback_slots=n)
 
 
 @functools.lru_cache(maxsize=None)

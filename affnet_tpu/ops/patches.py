@@ -167,15 +167,15 @@ def extract_patches_batched(imgs: Array, lafs: Array, ps: int = 32,
     Used by the training augmentation path (train_AffNet_test_on_graffity.py:
     176-188) where each LAF warps its own source patch.
 
-    With USE_PALLAS_BATCHED the forward runs the Pallas gather-as-matmul
-    sampler through its custom VJP (backward = VJP of the XLA formulation
-    below, so gradients are exact for the same sampling function); the
-    default is the stacked (N*H, W)-buffer XLA gather.  Default OFF: the
-    training rewarp transform is a raw network output with unbounded
-    extent, and patches past the static window + fallback capacity would
-    feed truncated samples into the gradient (a resumed bs-1024 training
-    run went NaN within ~30 steps with it enabled); turn it on for
-    bounded-extent workloads."""
+    With USE_PALLAS_BATCHED (default ON since r4) the forward runs the
+    Pallas gather-as-matmul sampler through its custom VJP (backward = VJP
+    of the XLA formulation below, so gradients are exact for the same
+    sampling function).  Safe for the training rewarp — whose transform is
+    a raw network output with unbounded extent — because the batched
+    sampler sizes its fallback at FULL capacity (every window miss takes
+    the exact recompute; the r3 NaN came from misses beyond an n//32
+    fallback feeding truncated samples into the gradient) and the rewarp
+    now samples the fused center crop (halved extents; augmentation.py)."""
     if USE_PALLAS_BATCHED:
         from .pallas_patches import extract_patches_batched_pallas
         return extract_patches_batched_pallas(imgs, lafs, ps=ps,
@@ -238,8 +238,8 @@ def _fallback_slots(n: int) -> int:
     return min(n, max(32, n // 64))
 
 # Differentiable batched sampler switch (training warps); see
-# extract_patches_batched for why it defaults off.
-USE_PALLAS_BATCHED = False
+# extract_patches_batched.
+USE_PALLAS_BATCHED = True
 
 # Master switch for the Pallas sampler on the pyramid path.  Tests on the
 # CPU backend turn this off globally (interpret-mode one-hot matmuls at

@@ -262,3 +262,86 @@ def test_pyramid_sampler_diff_grad():
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
                                rtol=5e-4, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(gp[2]), 0.0)
+
+
+def test_batched_pallas_extreme_transforms_exact():
+    """Trainability fix (r4): transforms whose extents exceed the static
+    window — raw-network-output rewarps at curriculum-max tilt and beyond —
+    must produce EXACT values (full-capacity fallback, no truncation) and
+    exact-function gradients, in both the forward and backward."""
+    from affnet_tpu.ops.pallas_patches import extract_patches_batched_pallas
+    from affnet_tpu.ops.patches import _extract_patches_batched_xla
+
+    rng = np.random.RandomState(13)
+    n, h = 16, 64
+    imgs = jnp.asarray(rng.uniform(0, 1, (n, h, h)).astype(np.float32))
+    # Mix of extreme anisotropic transforms (tilt ~8, rotations, huge
+    # scales up to 4x the window) and a NaN row (a diverging net output).
+    lafs = np.zeros((n, 2, 3), np.float32)
+    lafs[:, 0, 2] = lafs[:, 1, 2] = 0.5
+    for i in range(n):
+        th = rng.uniform(0, 2 * np.pi)
+        tilt = rng.uniform(4.0, 8.0)
+        s = rng.uniform(0.5, 4.0)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        lafs[i, :2, :2] = s * (R @ np.diag([tilt, 1.0 / tilt]))
+    lafs[3, :2, :2] = np.nan
+    lafs = jnp.asarray(lafs)
+
+    ref = _extract_patches_batched_xla(imgs, lafs, ps=32)
+    got = extract_patches_batched_pallas(imgs, lafs, ps=32)
+    ok = np.isfinite(np.asarray(ref))
+    assert np.abs(np.asarray(got)[ok] - np.asarray(ref)[ok]).max() < 5e-5
+
+    wgt = jnp.asarray(rng.uniform(-1, 1, (n, 32, 32)).astype(np.float32))
+    # Zero the NaN row's weight so the loss stays finite.
+    wgt = wgt.at[3].set(0.0)
+
+    gp_l, gp_i = jax.grad(
+        lambda l, im: (extract_patches_batched_pallas(im, l, ps=32)
+                       * wgt).sum(), argnums=(0, 1))(lafs, imgs)
+    gx_l, gx_i = jax.grad(
+        lambda l, im: (_extract_patches_batched_xla(im, l, ps=32)
+                       * wgt).sum(), argnums=(0, 1))(lafs, imgs)
+    okl = np.isfinite(np.asarray(gx_l))
+    np.testing.assert_allclose(np.asarray(gp_l)[okl], np.asarray(gx_l)[okl],
+                               rtol=5e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(gp_i), np.asarray(gx_i))
+
+
+def test_warp_by_predicted_transform_crop_fusion():
+    """The fused crop_size-grid rewarp equals the reference's
+    full-warp-then-center-crop formulation (ac=False).  The sample
+    coordinates are identical by construction (the cropped ps=h grid IS the
+    half-scale ps=c grid); the tolerance covers the Pallas sampler's
+    window-local-coordinate f32 rounding vs the XLA reference — on the XLA
+    path the two formulations are bit-equal."""
+    from affnet_tpu import augmentation
+    from affnet_tpu.ops.patches import _extract_patches_batched_xla
+
+    rng = np.random.RandomState(17)
+    n, h, c = 8, 64, 32
+    imgs = jnp.asarray(rng.uniform(0, 1, (n, h, h)).astype(np.float32))
+    trans = jnp.asarray(
+        (np.eye(2)[None] + 0.5 * rng.randn(n, 2, 2)).astype(np.float32))
+
+    got = augmentation.warp_by_predicted_transform(imgs, trans, c)
+
+    base = np.tile(np.array([[0.5, 0.0, 0.5], [0.0, 0.5, 0.5]], np.float32),
+                   (n, 1, 1))
+    lafs = jnp.asarray(base)
+    lafs = jnp.concatenate([trans @ lafs[:, :2, :2], lafs[:, :, 2:]], axis=2)
+    full = _extract_patches_batched_xla(imgs, lafs, ps=h)
+    st = (h - c) // 2
+    ref = np.asarray(full[:, st:st + c, st:st + c])
+    assert np.abs(np.asarray(got) - ref).max() < 5e-5
+
+    # XLA-path bit-equality of the two formulations.
+    from affnet_tpu.ops import patches as patches_mod
+    old = patches_mod.USE_PALLAS_BATCHED
+    patches_mod.USE_PALLAS_BATCHED = False
+    try:
+        got_xla = augmentation.warp_by_predicted_transform(imgs, trans, c)
+    finally:
+        patches_mod.USE_PALLAS_BATCHED = old
+    np.testing.assert_array_equal(np.asarray(got_xla), ref)
