@@ -198,11 +198,16 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
 
             # mxu_dtype=bf16 runs the row-gather matmul at 4x MXU rate with
             # f32 accumulation (fast mode: ~1 grey-level patch error).
-            # precision=DEFAULT overrides the package-wide f32 matmul
-            # precision, which Mosaic rejects for bf16 operands.
+            # bf16 operands need precision=DEFAULT (Mosaic rejects HIGHEST
+            # for them); f32 operands get HIGHEST — at DEFAULT the MXU
+            # truncates f32 operands to bf16 anyway (measured ~0.9
+            # grey-level error, tests/test_tpu_smoke.py), which would make
+            # the non-fast "parity" mode no more accurate than fast mode.
+            prec = (jax.lax.Precision.DEFAULT if mxu_dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
             g = jnp.dot(rw_t.astype(mxu_dtype), window,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
+                        precision=prec)
             out_ref[q, pl.ds(ck * sc, sc)] = jnp.sum(g * cw_t, axis=1)
             return 0
 

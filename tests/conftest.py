@@ -34,9 +34,30 @@ def cpu_devices():
 
 
 @pytest.fixture(autouse=True)
-def _route_to_cpu():
+def _route_to_cpu(request):
+    # TPU smoke tests (-m tpu) run on the default (real-chip) device.
+    if request.node.get_closest_marker("tpu"):
+        yield
+        return
     with jax.default_device(jax.devices("cpu")[0]):
         yield
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: compiled-kernel smoke tests; need the real chip "
+        "(deselected unless -m mentions tpu)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # Keep the default suite CPU-only: tpu-marked tests run only when the
+    # -m expression opts in (they compile Mosaic kernels on the real chip).
+    if "tpu" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(reason="TPU smoke test (run with -m tpu)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture
