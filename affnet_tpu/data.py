@@ -445,11 +445,27 @@ def synthetic_pairs_from_image(img: np.ndarray, n_classes: int = 512,
     return np.array(patches), np.array(labels, np.int64)
 
 
+def _bilinear_crop(big: np.ndarray, sx: np.ndarray, sy: np.ndarray):
+    """Clamped bilinear sampling of ``big`` at float coords (sx, sy)."""
+    hh, ww = big.shape
+    x0 = np.clip(np.floor(sx).astype(int), 0, ww - 2)
+    y0 = np.clip(np.floor(sy).astype(int), 0, hh - 2)
+    fx = np.clip(sx - x0, 0, 1)
+    fy = np.clip(sy - y0, 0, 1)
+    return (big[y0, x0] * (1 - fx) * (1 - fy)
+            + big[y0, x0 + 1] * fx * (1 - fy)
+            + big[y0 + 1, x0] * (1 - fx) * fy
+            + big[y0 + 1, x0 + 1] * fx * fy)
+
+
 def synthetic_pairs_from_images(imgs, n_classes: int = 8192,
                                 patch_size: int = 64, seed: int = 0,
                                 views_per_class: int = 4,
                                 max_tilt: float = 3.0,
-                                rot_jitter: float = 0.35):
+                                rot_jitter: float = 0.35,
+                                perspective: float = 0.004,
+                                occlude_prob: float = 0.25,
+                                anchor_scale_range=(0.6, 1.8)):
     """Multi-image synthetic patch classes approximating PhotoTour's
     viewpoint diversity (reference dataset.py:292-419): corner-ish anchor
     locations (gradient-energy-weighted sampling), per-view random
@@ -462,7 +478,21 @@ def synthetic_pairs_from_images(imgs, n_classes: int = 8192,
     The round-2 generator (single image, isotropic +-25% warps) trained
     AffNet to 72.6% graf1-2 inliers vs 90.7 for the shipped weights; tilt
     diversity is what the curriculum (TILT_SCHEDULE up to 5.8) needs the
-    data to support."""
+    data to support.  Round-4 additions target the extreme-viewpoint tail
+    (graf 1-4..1-6), where planar affine warps under-supervise:
+
+      - ``perspective``: views warp through a full homography
+        src = (A @ p + t) / (q . p + 1) with |q| <= perspective per pixel —
+        the foreshortening gradient real tilted planes have and affine
+        warps lack.
+      - ``occlude_prob``: per non-anchor view, paste an elliptical patch
+        from a DIFFERENT image (its own small affine motion + photometric
+        state) — a depth-layered composite; the anchor stays clean, so the
+        loss sees occlusion as nuisance, not signal.
+      - ``anchor_scale_range``: per-class context scale s0 (the 2x context
+        is cropped at s0 and resized back), so classes live across the
+        scale range the detector feeds AffNet, not at one blur level.
+    """
     rng = np.random.RandomState(seed)
     half = patch_size
     # Gradient-energy sampling maps per image (corner-ish anchors).
@@ -480,17 +510,40 @@ def synthetic_pairs_from_images(imgs, n_classes: int = 8192,
     patches, labels = [], []
     yy, xx = np.mgrid[0:patch_size, 0:patch_size]
     pts = np.stack([xx - patch_size / 2, yy - patch_size / 2])
+    oy, ox = np.mgrid[0:patch_size, 0:patch_size]
+
+    def rot(a):
+        return np.array([[np.cos(a), -np.sin(a)],
+                         [np.sin(a), np.cos(a)]])
+
     for c in range(n_classes):
         i = c % len(imgs)
         img = imgs[i].astype(np.float32)
         h, w = img.shape
+        # Class-level context scale: crop a (2*half*s0) region, resample to
+        # the canonical 2*half context.
+        s0 = np.exp(rng.uniform(np.log(anchor_scale_range[0]),
+                                np.log(anchor_scale_range[1])))
+        ch = max(8, int(round(half * s0)))
+        if 2 * ch >= min(h, w):
+            ch = half
+            s0 = 1.0
         if probs[i] is not None:
             flat = rng.choice(len(probs[i]), p=probs[i])
             cy, cx = flat // w, flat % w
+            cy = int(np.clip(cy, ch, h - ch - 1))
+            cx = int(np.clip(cx, ch, w - ch - 1))
         else:
-            cy = rng.randint(half, h - half)
-            cx = rng.randint(half, w - half)
-        big = img[cy - half:cy + half, cx - half:cx + half]
+            cy = rng.randint(ch, h - ch)
+            cx = rng.randint(ch, w - ch)
+        raw = img[cy - ch:cy + ch, cx - ch:cx + ch]
+        if ch != half:
+            # Resample the scaled context to the canonical grid.
+            lin = (np.arange(2 * half) + 0.5) * (2 * ch) / (2 * half) - 0.5
+            gx_, gy_ = np.meshgrid(lin, lin)
+            big = _bilinear_crop(raw, gx_, gy_)
+        else:
+            big = raw
         for v in range(views_per_class):
             if v == 0:
                 crop = big[half // 2:half // 2 + patch_size,
@@ -500,23 +553,43 @@ def synthetic_pairs_from_images(imgs, n_classes: int = 8192,
                 phi = rng.uniform(0, np.pi)
                 psi = rng.uniform(-rot_jitter, rot_jitter)
                 s = rng.uniform(0.8, 1.25)
-
-                def rot(a):
-                    return np.array([[np.cos(a), -np.sin(a)],
-                                     [np.sin(a), np.cos(a)]])
                 A = rot(phi) @ np.diag([np.sqrt(t), 1.0 / np.sqrt(t)]) \
                     @ rot(-phi) @ rot(psi) * s
-                src = np.tensordot(np.linalg.inv(A), pts, axes=1)
+                Ainv = np.linalg.inv(A)
+                src = np.tensordot(Ainv, pts, axes=1)
+                if perspective > 0:
+                    # Projective view: divide by (q . p + 1).  Sampling the
+                    # INVERSE map directly keeps the warp distribution
+                    # symmetric without a 3x3 inverse.
+                    q = rng.uniform(-perspective, perspective, 2)
+                    denom = q[0] * pts[0] + q[1] * pts[1] + 1.0
+                    denom = np.where(np.abs(denom) < 0.25,
+                                     np.sign(denom) * 0.25, denom)
+                    src = src / denom
                 sx = src[0] + half
                 sy = src[1] + half
-                x0 = np.clip(np.floor(sx).astype(int), 0, 2 * half - 2)
-                y0 = np.clip(np.floor(sy).astype(int), 0, 2 * half - 2)
-                fx = np.clip(sx - x0, 0, 1)
-                fy = np.clip(sy - y0, 0, 1)
-                crop = (big[y0, x0] * (1 - fx) * (1 - fy)
-                        + big[y0, x0 + 1] * fx * (1 - fy)
-                        + big[y0 + 1, x0] * (1 - fx) * fy
-                        + big[y0 + 1, x0 + 1] * fx * fy)
+                crop = _bilinear_crop(big, sx, sy)
+                if len(imgs) > 1 and rng.rand() < occlude_prob:
+                    # Depth-layered composite: elliptical foreground from a
+                    # different image, with its own photometric state.
+                    j = rng.choice([k for k in range(len(imgs)) if k != i])
+                    src_img = imgs[j].astype(np.float32)
+                    sh, sw = src_img.shape
+                    r = rng.randint(6, patch_size // 3)
+                    if sh > 2 * r + 2 and sw > 2 * r + 2:
+                        sy0 = rng.randint(r, sh - r)
+                        sx0 = rng.randint(r, sw - r)
+                        fg = src_img[sy0 - r:sy0 + r, sx0 - r:sx0 + r]
+                        py = rng.randint(0, patch_size)
+                        px = rng.randint(0, patch_size)
+                        ry = r * rng.uniform(0.6, 1.0)
+                        rx = r * rng.uniform(0.6, 1.0)
+                        mask = (((oy - py) / ry) ** 2
+                                + ((ox - px) / rx) ** 2) <= 1.0
+                        fy_ = np.clip(oy - py + r, 0, 2 * r - 1)
+                        fx_ = np.clip(ox - px + r, 0, 2 * r - 1)
+                        gain_o = rng.uniform(0.7, 1.3)
+                        crop = np.where(mask, fg[fy_, fx_] * gain_o, crop)
                 # Photometric jitter (PhotoTour views differ in exposure).
                 gain = rng.uniform(0.7, 1.3)
                 bias = rng.uniform(-20, 20)
