@@ -138,12 +138,17 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
 
         slot = i % 2
 
-    # Static per-sample base-grid ids as (chunk, 1)/(chunk, RW/CW) vectors.
+    # Static per-sample base-grid ids, SAMPLES IN LANES: tents are built
+    # transposed — (rw, sc) / (cw, sc) — so the gather matmul contracts over
+    # the window's LONG axis (cw >= 256 at every site).  The original
+    # orientation contracted over rw (48-96), underfilling the 128-deep MXU
+    # systolic dimension: the shape site measured 1.5 us/patch of pure
+    # matmul at K=48 vs 0.6 us at K=256 (same FLOPs).
     # (Mosaic iota is integer-only; cast to f32 afterwards.)
-    sid_i = jax.lax.broadcasted_iota(jnp.int32, (sc, 1), 0)
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (sc, rw), 1) \
+    sid_j = jax.lax.broadcasted_iota(jnp.int32, (1, sc), 1)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (rw, sc), 0) \
         .astype(jnp.float32)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (sc, cw), 1) \
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (cw, sc), 0) \
         .astype(jnp.float32)
 
     for q in range(p):
@@ -182,22 +187,22 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
         def chunk_body(ck, _):
             # fori_loop (not unrolled) so the chunk transients are a single
             # reused buffer set — unrolling all P*n_chunks bodies spills VMEM.
-            sid = sid_i + ck * sc
+            sid = sid_j + ck * sc                        # (1, chunk)
             i_f = (sid // ps).astype(jnp.float32)
             j_f = (sid % ps).astype(jnp.float32)
-            gx = ga * j_f + gb                           # (chunk, 1)
+            gx = ga * j_f + gb                           # (1, chunk)
             gy = ga * i_f + gb
             u = b11 * gx + b12 * gy + u0                 # window-local cols
             v = b21 * gx + b22 * gy + v0                 # window-local rows
 
-            rw_t = jnp.maximum(0.0, 1.0 - jnp.abs(r_ids - v))
-            cw_t = jnp.maximum(0.0, 1.0 - jnp.abs(c_ids - u))
+            rw_t = jnp.maximum(0.0, 1.0 - jnp.abs(r_ids - v))   # (rw, chunk)
+            cw_t = jnp.maximum(0.0, 1.0 - jnp.abs(c_ids - u))   # (cw, chunk)
             if not fold_masks:
                 rw_t = jnp.where((r_ids >= ylo) & (r_ids <= yhi), rw_t, 0.0)
                 cw_t = jnp.where(c_ids <= xhi, cw_t, 0.0)
 
-            # mxu_dtype=bf16 runs the row-gather matmul at 4x MXU rate with
-            # f32 accumulation (fast mode: ~1 grey-level patch error).
+            # mxu_dtype=bf16 runs the column-gather matmul at 4x MXU rate
+            # with f32 accumulation (fast mode: ~1 grey-level patch error).
             # bf16 operands need precision=DEFAULT (Mosaic rejects HIGHEST
             # for them); f32 operands get HIGHEST — at DEFAULT the MXU
             # truncates f32 operands to bf16 anyway (measured ~0.9
@@ -205,10 +210,12 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
             # the non-fast "parity" mode no more accurate than fast mode.
             prec = (jax.lax.Precision.DEFAULT if mxu_dtype == jnp.bfloat16
                     else jax.lax.Precision.HIGHEST)
-            g = jnp.dot(rw_t.astype(mxu_dtype), window,
-                        preferred_element_type=jnp.float32,
-                        precision=prec)
-            out_ref[q, pl.ds(ck * sc, sc)] = jnp.sum(g * cw_t, axis=1)
+            # (rw, cw) @ (cw, chunk): K = cw keeps the systolic depth full;
+            # the row-tent reduction runs on the VPU over sublanes.
+            w2 = jnp.dot(window, cw_t.astype(mxu_dtype),
+                         preferred_element_type=jnp.float32,
+                         precision=prec)                 # (rw, chunk)
+            out_ref[q, pl.ds(ck * sc, sc)] = jnp.sum(rw_t * w2, axis=0)
             return 0
 
         if n_chunks == 1:
@@ -258,6 +265,15 @@ def _window_matmul_jit(buf2d: Array, lafs: Array,
     # The output block is (p, ps*ps); Mosaic requires the sublane dimension
     # to be a multiple of 8.
     p = -(-patches_per_step // 8) * 8
+    if mxu_dtype != jnp.bfloat16:
+        # f32 windows/tents double every compute transient; p=16 at the
+        # ori site blew the 16 MB scoped-VMEM stack (measured: 16.83 MB),
+        # and the big-window desc bucket (448 rows) went 240 KB over even
+        # at p=8 after the contraction swap.  The fast path (bf16) keeps
+        # the larger step / chunk.
+        p = min(p, 8)
+        if window_rows >= 256:
+            chunk_samples = min(chunk_samples, 128)
     dt = jnp.float32
 
     # Pad the buffer to whole origin quanta so every window is in bounds

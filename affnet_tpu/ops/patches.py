@@ -213,15 +213,20 @@ def _extract_patches_batched_xla(imgs: Array, lafs: Array, ps: int = 32,
 # ``fallback_slots`` scales with the patch count (a fixed 192 was sized on
 # one bench image and could silently truncate on bigger CLI runs).
 PALLAS_SITES = {
-    "shape": dict(window_rows=48, window_cols=256, patches_per_step=8),
-    "ori": dict(window_rows=96, window_cols=256, patches_per_step=8),
+    # r4 in-jit sweep (scripts/bench_sampler_sweep.py) after the
+    # contraction swap: shape window_rows 48 -> 64 measured 1.56 -> 0.95
+    # us/patch (rw=48 is an anomalous slow point for the (rw, chunk)
+    # reduction — 64 AND 96 both beat it), patches_per_step 8 -> 16 a
+    # further ~5-20% on every site.
+    "shape": dict(window_rows=64, window_cols=256, patches_per_step=16),
+    "ori": dict(window_rows=96, window_cols=256, patches_per_step=16),
     "desc": dict(window_rows=256, window_cols=384, patches_per_step=8),
 }
 
 DESC_BUCKETS = (
-    (0.55, dict(window_rows=96, window_cols=256, patches_per_step=8,
+    (0.55, dict(window_rows=96, window_cols=256, patches_per_step=16,
                 fallback_slots=16)),
-    (0.35, dict(window_rows=224, window_cols=384, patches_per_step=8,
+    (0.35, dict(window_rows=240, window_cols=384, patches_per_step=16,
                 fallback_slots=16)),
     # Big-window tail: single-buffered (the window pair would exceed VMEM)
     # and sample-chunked (full-size tent transients + an 11 MB window
