@@ -97,7 +97,7 @@ Spec = Tuple[Layer, ...]
 # ---------------------------------------------------------------------------
 
 def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
-           compute_dtype=None) -> Array:
+           compute_dtype=None, keep_compute_dtype: bool = False) -> Array:
     """x NCHW, w HWIO (stored layout; transposed to OIHW at trace time);
     pad is an int (symmetric zeros) or 'VALID'.
 
@@ -116,20 +116,29 @@ def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+        if keep_compute_dtype:
+            # Fast-mode EVAL keeps activations in compute_dtype end-to-end
+            # (f32 MXU accumulation, rounded on output): f32 inter-layer
+            # activations doubled HBM traffic and measured the isolated
+            # AffNet trunk at 2.3 ms vs the 1.4 ms bf16-chain floor
+            # (scripts/bench_cnn_stage.py / bench_conv_formulations.py).
+            out_dtype = compute_dtype
     y = jax.lax.conv_general_dilated(
         x, jnp.transpose(w, (3, 2, 0, 1)),
         window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=out_dtype)
+        preferred_element_type=jnp.float32).astype(out_dtype)
     if b is not None:
-        y = y + b[None, :, None, None]
+        y = y + b[None, :, None, None].astype(out_dtype)
     return y
 
 
 def batchnorm_eval(x: Array, mean: Array, var: Array) -> Array:
-    """x NCHW; stats per channel."""
+    """x NCHW; stats per channel.  The per-channel scale/shift are computed
+    in f32 and cast to x.dtype so a bf16 activation chain stays bf16."""
     inv = jax.lax.rsqrt(var + BN_EPS)
-    return (x - mean[None, :, None, None]) * inv[None, :, None, None]
+    return (x - mean[None, :, None, None].astype(x.dtype)) \
+        * inv[None, :, None, None].astype(x.dtype)
 
 
 def batchnorm_train(x: Array, mean: Array, var: Array):
@@ -226,7 +235,15 @@ def apply_spec(spec: Spec, params: Params, x: Array, *,
                train: bool = False, rng=None, compute_dtype=None):
     """Run the layer stack on NHWC input.  Returns (features, new_params)
     where new_params carries updated BN running stats when train=True
-    (otherwise it is ``params`` unchanged)."""
+    (otherwise it is ``params`` unchanged).
+
+    Eval with a compute_dtype keeps the activation chain in that dtype
+    (f32 MXU accumulation per conv); the caller casts the features back.
+    Training keeps f32 activations — the bf16 chain is an inference-speed
+    path and BN batch stats / gradients stay full precision."""
+    keep = compute_dtype is not None and not train
+    if keep:
+        x = x.astype(compute_dtype)
     new_params = dict(params) if train else params
     for i, layer in enumerate(spec):
         name = f"layer{i}"
@@ -234,7 +251,7 @@ def apply_spec(spec: Spec, params: Params, x: Array, *,
             p = params[name]
             x = conv2d(x, p["w"], p.get("b"), layer.stride,
                        layer.pad if layer.pad > 0 else "VALID",
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, keep_compute_dtype=keep)
         elif isinstance(layer, BN):
             p = params[name]
             if train:

@@ -161,6 +161,9 @@ class PatchNet:
         feats, new_params = apply_spec(self.spec, params, x,
                                        train=train, rng=rng,
                                        compute_dtype=self.compute_dtype)
+        # Eval with a compute_dtype runs the activation chain in that dtype;
+        # heads (rectify/atan2/L2-norm) always get f32 features.
+        feats = feats.astype(jnp.float32)
         return feats.reshape(feats.shape[0], -1), new_params
 
     def __call__(self, params: Params, patches: Array, *,

@@ -71,7 +71,15 @@ def main():
     n_disp = ROUNDS * len(imgs)
     t0 = time.perf_counter()
     outs = [fn(params, imgs[i % len(imgs)]) for i in range(n_disp)]
-    fetched = [jax.device_get((o["descs"], o["lafs"])) for o in outs]
+    # Start all device->host copies before consuming any: sequential
+    # device_get calls each pay the full ~27 ms tunnel round trip, which
+    # dominated the pipelined number once device compute dropped under
+    # 12 ms/image (a production extractor overlaps the fetches too).
+    for o in outs:
+        o["descs"].copy_to_host_async()
+        o["lafs"].copy_to_host_async()
+    fetched = [(np.asarray(o["descs"]), np.asarray(o["lafs"]))
+               for o in outs]
     t = (time.perf_counter() - t0) / n_disp
 
     lat = []
