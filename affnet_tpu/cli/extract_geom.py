@@ -37,7 +37,7 @@ def main(argv=None):
                         help="bf16 gather/CNN fast mode (f32 detection)")
     parser.add_argument("--save-lafs", default=None)
     parser.add_argument("--save-descs", default=None)
-    parser.add_argument("--max-keypoints", type=int, default=8192,
+    parser.add_argument("--max-keypoints", type=int, default=16384,
                         help="static cap on survivors in threshold mode; a "
                              "warning is printed (with the true detected "
                              "count) if it binds")

@@ -61,8 +61,15 @@ class DetectorConfig:
     num_baum_iters: int = 0
     init_sigma: float = 1.6
     th: Optional[float] = None     # not None -> threshold mode (num ignored)
-    max_keypoints: int = 4096      # static candidate cap (threshold mode /
-                                   # prefilter ceiling)
+    max_keypoints: int = 8192      # static candidate cap (threshold mode /
+                                   # prefilter ceiling).  Sized from data
+                                   # (scripts/measure_threshold_counts.py):
+                                   # at the classical th=28.41 the graf
+                                   # images (800x640) yield 5.3-6.8k NMS
+                                   # survivors, a 1080p image 12.7k — the
+                                   # old 4096 default truncated even
+                                   # graf-sized threshold runs (the CLIs
+                                   # use 16384 for 1080p-class inputs).
     align_corners: bool = False    # torch>=1.3 semantics (the runnable ref)
     py2: bool = False              # python-2 kernel semantics of the 2018 code
     fused_detect: bool = True      # Pallas fused hessian+NMS+softargmax
