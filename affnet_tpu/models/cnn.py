@@ -157,13 +157,21 @@ def batchnorm_train(x: Array, mean: Array, var: Array):
 
 def input_norm(x: Array, detach: bool = True) -> Array:
     """Per-sample standardization over all pixels, unbiased std + 1e-7.
-    Reference: architectures.py:235-239 / HardNet.py:92-96."""
+    Reference: architectures.py:235-239 / HardNet.py:92-96.
+
+    The 1e-12 inside the sqrt is below f32 resolution for any non-constant
+    patch (forward bitwise unchanged vs the torch oracle) but keeps the
+    NON-detached backward finite on an exactly-constant patch: d sqrt(s)/ds
+    at s=0 is inf, and inf * (ds/dx = 0) = NaN — one fully-out-of-bounds
+    rewarped patch NaN'd the whole r4 training step through TFeat's
+    detach=False input norm (the torch reference has the same hazard;
+    .std() backward at zero variance is NaN there too)."""
     n = x.shape[0]
     flat = x.reshape(n, -1)
     mp = jnp.mean(flat, axis=1)
     d = flat - mp[:, None]
     denom = max(flat.shape[1] - 1, 1)
-    sp = jnp.sqrt(jnp.sum(d * d, axis=1) / denom) + 1e-7
+    sp = jnp.sqrt(jnp.sum(d * d, axis=1) / denom + 1e-12) + 1e-7
     if detach:
         mp = jax.lax.stop_gradient(mp)
         sp = jax.lax.stop_gradient(sp)

@@ -252,6 +252,56 @@ def make_affnet_train_step(model, descriptor_fn, cfg: TrainConfig):
 
 
 # ---------------------------------------------------------------------------
+# Descriptor training step (HardNet-from-scratch; the reference's canonical
+# config trains AffNet AGAINST a pretrained HardNet++ whose weights are
+# absent from this mount — this step trains the descriptor itself on patch
+# pairs so the full parity story needs no substitute.  Harness semantics:
+# HardNet arch (HardNet.py:61-101) + loss_HardNet (Losses.py:113-180),
+# same torch-exact SGD as the AffNet trainer.
+# ---------------------------------------------------------------------------
+
+def make_descriptor_train_step(model, descriptor_fn, cfg: TrainConfig):
+    """The MODEL is the descriptor being trained; ``descriptor_fn`` (the
+    frozen-descriptor slot of the other trainers) is unused.  batch =
+    (data_a, data_p) matching 64x64 views of the same surface point;
+    augmentation is a pair-shared dihedral fliprot (the reference's
+    TotalDatasetsLoader augmentation, dataset.py:262-286) + center crop."""
+    del descriptor_fn
+    ps = cfg.patch_size
+
+    def loss_fn(params, batch, key):
+        data_a, data_p = batch[0], batch[1]
+        k1, k2, k3 = jax.random.split(key, 3)
+        a, p = augmentation.fliprot(k1, data_a, data_p)
+        h = a.shape[1]
+        st = (h - ps) // 2
+        crop_a = a[:, st:st + ps, st:st + ps]
+        crop_p = p[:, st:st + ps, st:st + ps]
+        feats_a, np1 = model.features(params, crop_a, train=True, rng=k2)
+        feats_p, np2 = model.features(np1, crop_p, train=True, rng=k3)
+        desc_a = l2norm(feats_a)
+        desc_p = l2norm(feats_p)
+        descr_dist = losses.descriptor_dist(desc_a, desc_p)
+        loss = apply_loss(cfg.loss, desc_a, desc_p)
+        return loss, (descr_dist, np2)
+
+    def step_fn(state: TrainState, batch, key, max_tilt=None):
+        (loss, (descr_dist, new_params)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, key)
+        lr = lr_at_step(state.step, cfg)
+        params, momentum = sgd_update(state.params, grads, state.momentum,
+                                      lr, cfg, step=state.step)
+        mask = trainable_mask(params)
+        params = jax.tree_util.tree_map(
+            lambda m, trained, stats: trained if m > 0 else stats,
+            mask, params, new_params)
+        return (TrainState(params, momentum, state.step + 1),
+                {"loss": loss, "descr_dist": descr_dist, "lr": lr})
+
+    return step_fn
+
+
+# ---------------------------------------------------------------------------
 # OriNet training step (train_OriNet...py:229-286)
 # ---------------------------------------------------------------------------
 
@@ -342,7 +392,7 @@ def load_checkpoint(path: str) -> Tuple[Params, int]:
 def train_loop(model, dataset, cfg: TrainConfig, log_dir: str = "./logs",
                desc_params: Optional[Params] = None,
                start_params: Optional[Params] = None, start_epoch: int = 0,
-               mesh=None, ori: bool = False,
+               mesh=None, ori: bool = False, mode: Optional[str] = None,
                eval_fn: Optional[Callable[[Params, int], None]] = None):
     """Epoch loop with per-epoch checkpoints (+ optional graf eval hook).
     If ``mesh`` is given, the step shards the batch over it (see parallel.py)."""
@@ -352,8 +402,16 @@ def train_loop(model, dataset, cfg: TrainConfig, log_dir: str = "./logs",
             f"chunked resume past the LR schedule end: start_epoch "
             f"{start_epoch} + epochs {cfg.epochs} > total_epochs "
             f"{cfg.total_epochs} (the linear decay would clamp to lr=0)")
-    descriptor_fn = make_descriptor(cfg.descriptor, desc_params)
-    make_step = make_orinet_train_step if ori else make_affnet_train_step
+    if mode is None:
+        mode = "orinet" if ori else "affnet"
+    if mode == "descriptor":
+        # The model itself is the descriptor under training.
+        descriptor_fn = None
+    else:
+        descriptor_fn = make_descriptor(cfg.descriptor, desc_params)
+    make_step = {"affnet": make_affnet_train_step,
+                 "orinet": make_orinet_train_step,
+                 "descriptor": make_descriptor_train_step}[mode]
     step_fn = make_step(model, descriptor_fn, cfg)
     if mesh is not None:
         from .parallel import shard_train_step

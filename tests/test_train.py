@@ -122,6 +122,41 @@ class TestTrainStep:
                             jax.random.PRNGKey(0), 3.0)
             assert np.isfinite(float(m["loss"]))
 
+    def test_descriptor_step_reduces_loss(self):
+        """HardNet-from-scratch trainer (r4): PosDist on the same batch+key
+        must descend; BN stats must move (train-mode forward)."""
+        from affnet_tpu.models import HardNet
+        from affnet_tpu.train import make_descriptor_train_step
+
+        cfg = TrainConfig(batch_size=16, n_pairs=100000, epochs=1,
+                          loss="PosDist", lr=5e-5)
+        step = jax.jit(make_descriptor_train_step(HardNet, None, cfg))
+        params = HardNet.init(jax.random.PRNGKey(0))
+        state = TrainState(params, init_momentum(params),
+                           jnp.asarray(0, jnp.int32))
+        batch = make_batch()
+        losses = []
+        for _ in range(6):
+            state, m = step(state, batch, jax.random.PRNGKey(42))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert not np.allclose(np.asarray(state.params["layer1"]["mean"]),
+                               np.asarray(params["layer1"]["mean"]))
+
+    def test_descriptor_step_hardnet_loss_runs(self):
+        from affnet_tpu.models import HardNet
+        from affnet_tpu.train import make_descriptor_train_step
+
+        cfg = TrainConfig(batch_size=16, n_pairs=10000, epochs=1,
+                          loss="HardNet", lr=0.1)
+        step = jax.jit(make_descriptor_train_step(HardNet, None, cfg))
+        params = HardNet.init(jax.random.PRNGKey(2))
+        state = TrainState(params, init_momentum(params),
+                           jnp.asarray(0, jnp.int32))
+        state, m = step(state, make_batch(16, 3), jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+
     def test_orinet_step_runs(self):
         cfg = TrainConfig(batch_size=8, n_pairs=10000, epochs=1,
                           descriptor="pixels", loss="Geom")
