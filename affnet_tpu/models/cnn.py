@@ -19,6 +19,7 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -30,6 +31,17 @@ Params = Dict[str, Any]
 
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
+
+# Conv backward strategy for training compiles on the remote TPU compile
+# service, where XLA's gradient-conv patterns are pathologically slow to
+# compile when fused with surrounding BN/relu ops (measured: NCHW conv
+# backward 1.6 s bare, 15-20 s fused; a full AffNet+HardNet train step
+# ~45 min).  "explicit" routes conv gradients through a custom VJP whose
+# dx/dw are hand-written PLAIN forward convs wrapped in optimization
+# barriers, so each compiles as an isolated, ordinary conv.
+#   "xla"      — stock jax AD (default)
+#   "explicit" — custom-VJP convs (training-path f32 convs only)
+CONV_VJP = "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +108,59 @@ Spec = Tuple[Layer, ...]
 # Primitive ops
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_explicit(x: Array, w_oihw: Array, stride: int, pad: int) -> Array:
+    """NCHW x, OIHW w, symmetric int padding: stock forward, hand-written
+    backward.  The VJPs are expressed as PLAIN forward convs (the zero
+    insertion XLA would do via lhs/rhs_dilation is identical here, but
+    spelled so the compile service sees ordinary conv patterns) and wrapped
+    in optimization barriers so they cannot fuse into the 15-20 s/conv
+    conv+BN backward clusters (see CONV_VJP)."""
+    return jax.lax.conv_general_dilated(
+        x, w_oihw, window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+
+
+def _conv_explicit_fwd(x, w_oihw, stride, pad):
+    return _conv_explicit(x, w_oihw, stride, pad), (x, w_oihw)
+
+
+def _conv_explicit_bwd(stride, pad, res, g):
+    x, w = res
+    g, = jax.lax.optimization_barrier((g,))
+    n, ci, h, wd = x.shape
+    o, _, kh, kw = w.shape
+    hp, wp = g.shape[2], g.shape[3]
+    s = stride
+
+    # dx: conv of the s-dilated cotangent with the spatially-flipped,
+    # O<->I-transposed kernel, stride 1.
+    w_flip = jnp.transpose(w[:, :, ::-1, ::-1], (1, 0, 2, 3))  # (I, O, kh, kw)
+    pad_h = (kh - 1 - pad, h - ((hp - 1) * s + 1) + pad)
+    pad_w = (kw - 1 - pad, wd - ((wp - 1) * s + 1) + pad)
+    dx = jax.lax.conv_general_dilated(
+        g, w_flip, window_strides=(1, 1), padding=[pad_h, pad_w],
+        lhs_dilation=(s, s), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+
+    # dw: batch dim becomes the contraction; x plays lhs with its channel
+    # dim as "batch", g plays rhs s-dilated.  Output (C_in, O, kh, kw).
+    pad_h2 = (pad, (hp - 1) * s + kh - h - pad)
+    pad_w2 = (pad, (wp - 1) * s + kw - wd - pad)
+    dw_cio = jax.lax.conv_general_dilated(
+        x, g, window_strides=(1, 1), padding=[pad_h2, pad_w2],
+        rhs_dilation=(s, s), dimension_numbers=("CNHW", "IOHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+    dw = jnp.transpose(dw_cio, (1, 0, 2, 3))
+    dx, dw = jax.lax.optimization_barrier((dx, dw))
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+_conv_explicit.defvjp(_conv_explicit_fwd, _conv_explicit_bwd)
+
+
 def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
            compute_dtype=None, keep_compute_dtype: bool = False) -> Array:
     """x NCHW, w HWIO (stored layout; transposed to OIHW at trace time);
@@ -110,8 +175,10 @@ def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
     affnet_tpu.__init__)."""
     if isinstance(pad, int):
         padding = [(pad, pad), (pad, pad)]
+        pad_int = pad
     else:
         padding = pad
+        pad_int = 0 if pad == "VALID" else None
     out_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -123,11 +190,15 @@ def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
             # AffNet trunk at 2.3 ms vs the 1.4 ms bf16-chain floor
             # (scripts/bench_cnn_stage.py / bench_conv_formulations.py).
             out_dtype = compute_dtype
-    y = jax.lax.conv_general_dilated(
-        x, jnp.transpose(w, (3, 2, 0, 1)),
-        window_strides=(stride, stride), padding=padding,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32).astype(out_dtype)
+    if CONV_VJP == "explicit" and compute_dtype is None and pad_int is not None:
+        y = _conv_explicit(x, jnp.transpose(w, (3, 2, 0, 1)), stride,
+                           pad_int).astype(out_dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, jnp.transpose(w, (3, 2, 0, 1)),
+            window_strides=(stride, stride), padding=padding,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32).astype(out_dtype)
     if b is not None:
         y = y + b[None, :, None, None].astype(out_dtype)
     return y
