@@ -45,6 +45,10 @@ def build_parser():
                    help="shard the batch over an N-device mesh")
     p.add_argument("--synthetic", action="store_true",
                    help="train on offline synthetic pairs (no dataset needed)")
+    p.add_argument("--conv-vjp", choices=["xla", "explicit"], default="xla",
+                   help="conv backward strategy: 'explicit' compiles the "
+                        "train step far faster on the remote compile "
+                        "service (bit-exact gradients; see models/cnn.py)")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--no-vis", action="store_true")
     return p
@@ -52,6 +56,10 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.conv_vjp != "xla":
+        from ..models import cnn
+        cnn.CONV_VJP = args.conv_vjp
 
     from ..models import REGISTRY
     from ..train import TrainConfig, load_checkpoint, train_loop
