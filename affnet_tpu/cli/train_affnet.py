@@ -51,6 +51,9 @@ def build_parser():
                    help="conv backward strategy: 'explicit' compiles the "
                         "train step far faster on the remote compile "
                         "service (bit-exact gradients; see models/cnn.py)")
+    p.add_argument("--host-data", action="store_true",
+                   help="build batches on the host (upload 33 MB/step) "
+                        "instead of the device-resident store")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--no-vis", action="store_true",
                    help="skip per-epoch LAF overlay PNGs in the log dir "
@@ -82,8 +85,13 @@ def make_dataset(args):
     # (reference TripletPhotoTour + loss_random_sampling).
     cls = (D.TripletDataset if args.loss == "random_sampling"
            else D.PairDataset)
-    return cls(patches, labels, args.n_pairs,
-               batch_size=args.batch_size, seed=args.seed)
+    ds = cls(patches, labels, args.n_pairs,
+             batch_size=args.batch_size, seed=args.seed)
+    if cls is D.PairDataset and not getattr(args, "host_data", False):
+        # Device-resident batches: one-time store upload, 8 KB/step index
+        # transfers instead of 33 MB/step pair uploads (see data.py).
+        ds = D.DevicePairDataset(ds)
+    return ds
 
 
 def main(argv=None):

@@ -49,6 +49,9 @@ def build_parser():
                    help="conv backward strategy: 'explicit' compiles the "
                         "train step far faster on the remote compile "
                         "service (bit-exact gradients; see models/cnn.py)")
+    p.add_argument("--host-data", action="store_true",
+                   help="build batches on the host (upload 33 MB/step) "
+                        "instead of the device-resident store")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--no-vis", action="store_true")
     return p

@@ -273,6 +273,26 @@ class TestData:
         assert a.shape == (16, 64, 64) and a.dtype == np.float32
         assert a.max() <= 1.0
 
+    def test_device_pair_dataset_matches_host(self):
+        # DevicePairDataset (r4): batches built on device from the uint8
+        # store must match PairDataset's host path (same RNG stream, same
+        # gather/fliprot) to 1 ulp — XLA folds the /255 into a reciprocal
+        # multiply, numpy divides, so the low bit can differ.
+        rng = np.random.RandomState(1)
+        patches = (rng.rand(120, 64, 64) * 255).astype(np.uint8)
+        labels = np.repeat(np.arange(30), 4)
+        host = data_mod.PairDataset(patches, labels, n_pairs=64,
+                                    batch_size=16, seed=3)
+        dev = data_mod.DevicePairDataset(
+            data_mod.PairDataset(patches, labels, n_pairs=64,
+                                 batch_size=16, seed=3))
+        hb = list(host.batches())
+        db = list(dev.batches())
+        assert len(hb) == len(db) == 4
+        for (ha, hp), (da, dp) in zip(hb, db):
+            np.testing.assert_allclose(ha, np.asarray(da), rtol=0, atol=1e-7)
+            np.testing.assert_allclose(hp, np.asarray(dp), rtol=0, atol=1e-7)
+
     def test_synthetic_pairs(self):
         img = (np.random.RandomState(2).rand(400, 400) * 255)
         patches, labels = data_mod.synthetic_pairs_from_image(
