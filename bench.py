@@ -6,8 +6,10 @@ through detect (top-k 2000) -> 1x AffNet shape iteration -> descriptor-patch
 extraction (PS=32) -> HardTFeat 128-D descriptor, end-to-end on device, with
 REAL shipped weights for both nets (no random-weight stand-ins).
 
-Throughput is measured PIPELINED OVER SIX DISTINCT 1080p images (graf
-img1..img6): all dispatches are issued before the device->host fetches, as a
+Throughput is measured PIPELINED OVER TWELVE DISTINCT 1080p images (graf
+img1..img6 + the reference's example images: fox1/fox2/cat/kpi1/kpi2 +
+imgs/graf16HesAff): all dispatches are issued before the device->host
+fetches, as a
 production extractor overlaps host round trips (~27 ms each through the axon
 tunnel) with device compute — and no image's work can be cached or elided
 because every input differs.  The JSON also reports the single-image
@@ -31,7 +33,7 @@ REF_CPU_SECONDS_PER_IMAGE = 16.89
 NFEATS = 2000
 H, W = 1080, 1920
 WARMUP = 2
-ROUNDS = 3          # full passes over the 6 distinct images
+ROUNDS = 3          # full passes over the distinct-image set
 
 
 def main():
@@ -44,10 +46,13 @@ def main():
     from affnet_tpu.models import AffNetFast, HardTFeatNet
     from affnet_tpu.models.convert import load_pretrained
 
+    paths = [f"/root/reference/test-graf/img{i}.png" for i in range(1, 7)]
+    paths += [f"/root/reference/examples/hesaffnet/img/{n}.png"
+              for n in ("fox1", "fox2", "cat", "kpi1", "kpi2")]
+    paths += ["/root/reference/imgs/graf16HesAff.jpg"]
     imgs = []
-    for i in range(1, 7):
-        im = Image.open(f"/root/reference/test-graf/img{i}.png").convert(
-            "RGB").resize((W, H), Image.BILINEAR)
+    for p in paths:
+        im = Image.open(p).convert("RGB").resize((W, H), Image.BILINEAR)
         imgs.append(jnp.asarray(
             np.mean(np.asarray(im), axis=2).astype(np.float32)))
 
@@ -82,7 +87,7 @@ def main():
                for o in outs]
     t_per_dispatch = (time.perf_counter() - t0) / n_disp
 
-    # Batched variant: all six distinct images in ONE dispatch (lax.map of
+    # Batched variant: all twelve distinct images in ONE dispatch (lax.map of
     # the same pipeline), so the ~27 ms tunnel round trips amortize over the
     # batch — the per-dispatch path is RPC-bound, not device-bound (device
     # compute is ~12-21 ms/image vs ~55 ms/image wall).  This is the

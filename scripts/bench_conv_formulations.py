@@ -85,6 +85,40 @@ def make_rowblock_weight(w, rows_per_group):
     return wrb.reshape((rpg + 2) * kw * c, rpg * o)
 
 
+def conv_im2colT(x_cnhw, w, pad):
+    """Transposed im2col: x (C, N, H, W), w (kh, kw, C, O) -> (O, N, H, W).
+
+    The matmul is (O, 9C) @ (9C, N*H*W): pixels fill the 128 MXU lanes
+    completely and the contraction depth is 9*C (144/288/576 for C=16/32/64)
+    instead of C_out=16-64 lanes in the stock layouts.  Stride 1 only."""
+    c, n, h, wd = x_cnhw.shape
+    kh, kw, _, o = w.shape
+    xp = jnp.pad(x_cnhw, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    taps = [xp[:, :, r:r + h, s:s + wd] for r in range(kh) for s in range(kw)]
+    xim = jnp.concatenate(taps, axis=0).reshape(kh * kw * c, n * h * wd)
+    wt = jnp.transpose(w, (3, 0, 1, 2)).reshape(o, kh * kw * c)
+    y = jnp.dot(wt, xim, preferred_element_type=jnp.float32)
+    return y.reshape(o, n, h, wd).astype(x_cnhw.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _downsample_onehot(full, dtype_name):
+    sel = np.zeros((full, full // 2), np.float32)
+    sel[np.arange(0, full, 2), np.arange(full // 2)] = 1.0
+    return jnp.asarray(sel).astype(dtype_name)
+
+
+def downsample2_onehot(y):
+    """(O, N, H, W) -> (O, N, H/2, W/2) via exact one-hot selection matmuls
+    (lane-strided slicing costs ~2.7 ns/element; these are tiny matmuls)."""
+    o, n, h, wd = y.shape
+    dh = _downsample_onehot(h, jnp.dtype(y.dtype).name)
+    dw = _downsample_onehot(wd, jnp.dtype(y.dtype).name)
+    y = jnp.einsum("onhw,wx->onhx", y, dw)
+    y = jnp.einsum("onhx,hg->ongx", y, dh)
+    return y.astype(y.dtype)
+
+
 def conv_rowblock(x, wrb, rows_per_group, kw, o):
     # x (N, H, W, C) -> groups of rows_per_group output rows; 3x3 pad 1.
     n, h, wd, c = x.shape
@@ -126,6 +160,8 @@ def run_stack(x_nhwc, weights, mode, dtype):
     x = x_nhwc.astype(dtype)
     if mode == "nchw":
         x = x.transpose(0, 3, 1, 2)
+    elif mode == "im2colT":
+        x = x.transpose(3, 0, 1, 2)                # (C, N, H, W)
     for li, (cin, cout, k, s, p, hin) in enumerate(AFFNET_LAYERS):
         w = weights[li].astype(dtype)
         if mode == "nchw":
@@ -148,8 +184,15 @@ def run_stack(x_nhwc, weights, mode, dtype):
             else:
                 y = conv_nhwc(x, w, s, p)
             x = jnp.maximum(y, 0.0).astype(dtype)
+        elif mode == "im2colT":
+            y = conv_im2colT(x, w, p)              # stride-1 at full res
+            if s == 2:
+                y = downsample2_onehot(y)
+            x = jnp.maximum(y, 0.0).astype(dtype)
     if mode == "nchw":
         x = x.transpose(0, 2, 3, 1)
+    elif mode == "im2colT":
+        x = x.transpose(1, 2, 3, 0)
     return x
 
 
@@ -175,7 +218,7 @@ def main():
           flush=True)
 
     for dtype in (jnp.bfloat16, jnp.float32):
-        for mode in ("nchw", "nhwc", "im2col", "rowblock"):
+        for mode in ("nchw", "nhwc", "im2col", "rowblock", "im2colT"):
             def loop(xx, mode=mode, dtype=dtype):
                 def body(i, acc):
                     out = run_stack(xx * (1.0 + 1e-12 * i), weights, mode,
