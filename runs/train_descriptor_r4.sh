@@ -14,7 +14,7 @@ for ((E0 = FIRST; E0 < LAST; E0 += 4)); do
   N=$((LAST - E0 < 4 ? LAST - E0 : 4))
   RESUME=""
   if [ -d "$CKDIR" ] && ls $CKDIR/checkpoint_*.npz >/dev/null 2>&1; then
-    RESUME="--resume $(ls $CKDIR/checkpoint_*.npz | sort -t_ -k2 -n | tail -1)"
+    RESUME="--resume $(ls $CKDIR/checkpoint_*.npz |  sort -V | tail -1)"
   fi
   timeout 5400 python -m affnet_tpu.cli.train_descriptor --synthetic \
     --epochs $N --total-epochs 8 --n-pairs 500000 --batch-size 1024 \
