@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -214,8 +215,9 @@ def conv2d(x: Array, w: Array, b: Optional[Array], stride: int, pad,
 # one-hot selection matmuls (lane-strided slicing costs ~2.7 ns/element on
 # TPU; the extra conv FLOPs are noise at these sizes).  Eval only — the
 # training path keeps lax.conv (its backward patterns are what the custom
-# VJP machinery above targets).
-EVAL_CONV_LAYOUT = "nchw"
+# VJP machinery above targets).  Env override AFFNET_EVAL_CONV for A/B
+# measurement without code edits.
+EVAL_CONV_LAYOUT = os.environ.get("AFFNET_EVAL_CONV", "nchw")
 
 
 def conv_cnhw(x: Array, w: Array, b: Optional[Array], stride: int,
