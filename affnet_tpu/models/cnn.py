@@ -386,6 +386,8 @@ def apply_spec(spec: Spec, params: Params, x: Array, *,
     path and BN batch stats / gradients stay full precision."""
     if not train and EVAL_CONV_LAYOUT == "cnhw":
         return _apply_spec_cnhw(spec, params, x, compute_dtype), params
+    if not train and EVAL_CONV_LAYOUT == "flat" and x.shape[1] == 1:
+        return _apply_spec_flat(spec, params, x, compute_dtype), params
     keep = compute_dtype is not None and not train
     if keep:
         x = x.astype(compute_dtype)
@@ -426,6 +428,137 @@ def apply_spec(spec: Spec, params: Params, x: Array, *,
         else:
             raise TypeError(f"Unknown layer {layer!r}")
     return x, new_params
+
+
+def _onehot_first(full: int, keep: int, dtype_name: str):
+    sel = np.zeros((full, keep), np.float32)
+    sel[np.arange(keep), np.arange(keep)] = 1.0
+    return jnp.asarray(sel, dtype=dtype_name)
+
+
+def _apply_spec_flat(spec: Spec, params: Params, x: Array,
+                     compute_dtype=None) -> Array:
+    """Eval-only layer stack through the Pallas fused conv
+    (ops/pallas_conv.py): activations flat as (C_pad, N*H*W), one kernel
+    launch per trunk conv with the following eval-BN folded into the
+    weights and the following activation fused in.  Full-cover VALID convs
+    (the 8x8 descriptor heads) run as one XLA matmul with contraction
+    depth kh*kw*C (512-8192).  Layers the flat layout doesn't cover (tiny
+    odd-shaped heads like OriNet's pad-1 4x4, global pools, trailing BNs)
+    fall back to the stock NCHW loop on the un-flattened remainder.
+    Takes NCHW input, returns NCHW features like the stock path."""
+    from ..ops import pallas_conv
+
+    n, c, h, w = x.shape
+    assert c == 1, "patch CNNs are single-channel at the input"
+    dt = compute_dtype if compute_dtype is not None else x.dtype
+    xf = x.astype(dt).reshape(1, n * h * w)
+    c_pad = 8
+    xf = jnp.pad(xf, ((0, c_pad - 1), (0, 0)))
+    dname = jnp.dtype(dt).name
+
+    i = 0
+    head = None                      # set when the head matmul consumed a conv
+    while i < len(spec):
+        layer = spec[i]
+        if isinstance(layer, Conv):
+            kh, kw = layer.kernel_hw
+            p = params[f"layer{i}"]
+            wgt = p["w"].astype(jnp.float32)
+            bias = p.get("b")
+            bias = (jnp.zeros((layer.out_ch,), jnp.float32) if bias is None
+                    else bias.astype(jnp.float32))
+            # Peephole: fold an eval BatchNorm right after the conv, then
+            # fuse a following elementwise activation into the kernel.
+            j = i + 1
+            if j < len(spec) and isinstance(spec[j], BN):
+                bp = params[f"layer{j}"]
+                scale = jax.lax.rsqrt(bp["var"] + BN_EPS)
+                wgt = wgt * scale[None, None, None, :]
+                bias = (bias - bp["mean"]) * scale
+                j += 1
+            act = "none"
+            if j < len(spec) and isinstance(spec[j], (ReLU, Tanh, ELU)):
+                act = {ReLU: "relu", Tanh: "tanh", ELU: "elu"}[type(spec[j])]
+                j += 1
+            if (kh == kw == h == w and layer.pad == 0 and layer.stride == 1):
+                # Full-cover VALID head: one matmul (O, hw*C) @ (hw*C, N).
+                cin = layer.in_ch
+                xk = xf[:cin].reshape(cin, n, h * w)
+                xk = jnp.transpose(xk, (2, 0, 1)).reshape(h * w * cin, n)
+                wk = wgt.reshape(kh * kw * cin, layer.out_ch).T.astype(dt)
+                y = jnp.dot(wk, xk.astype(dt),
+                            preferred_element_type=jnp.float32)
+                y = y + bias[:, None]
+                if act == "relu":
+                    y = jnp.maximum(y, 0.0)
+                elif act == "tanh":
+                    y = jnp.tanh(y)
+                elif act == "elu":
+                    y = jax.nn.elu(y)
+                head = y.astype(dt)          # (O, N)
+                c, h, w = layer.out_ch, 1, 1
+                i = j
+                continue
+            if (layer.out_ch % 8 or kh != kw or layer.stride not in (1, 2)
+                    or kh >= min(h, w)):
+                break                         # stock tail handles the rest
+            xf = pallas_conv.conv_flat(
+                xf, wgt.astype(dt), bias, img_hw=(h, w), pad=layer.pad,
+                act=act, n_patches=n)
+            c = layer.out_ch
+            c_pad = c
+            if layer.pad == 0:               # VALID: crop the SAME output
+                ho, wo = h - kh + 1, w - kw + 1
+                y4 = xf.reshape(c, n, h, w)
+                y4 = jnp.einsum("cnhw,wx->cnhx", y4,
+                                _onehot_first(w, wo, dname))
+                y4 = jnp.einsum("cnhx,hg->cngx", y4,
+                                _onehot_first(h, ho, dname))
+                h, w = ho, wo
+                xf = y4.reshape(c, n * h * w)
+            if layer.stride == 2:
+                y4 = _downsample2_onehot(xf.reshape(c, n, h, w))
+                c, n_, h, w = y4.shape
+                xf = y4.reshape(c, n * h * w)
+            i = j
+        elif isinstance(layer, MaxPool) and \
+                (layer.k, layer.stride, layer.pad) == (2, 2, 0):
+            y4 = _maxpool2_cnhw(xf.reshape(c, n, h, w))
+            h, w = y4.shape[2], y4.shape[3]
+            xf = y4.reshape(c, n * h * w)
+            i += 1
+        elif isinstance(layer, Dropout):
+            i += 1
+        else:
+            break
+
+    # Un-flatten and run any remaining layers through the stock loop.
+    if head is not None:
+        x_tail = head.T.reshape(n, c, 1, 1)
+    else:
+        x_tail = jnp.transpose(xf[:c].reshape(c, n, h, w), (1, 0, 2, 3))
+    if i < len(spec):
+        old = globals()["EVAL_CONV_LAYOUT"]
+        try:
+            globals()["EVAL_CONV_LAYOUT"] = "nchw"
+            x_tail, _ = apply_spec(spec[i:], _shift_params(params, i),
+                                   x_tail, train=False,
+                                   compute_dtype=compute_dtype)
+        finally:
+            globals()["EVAL_CONV_LAYOUT"] = old
+    return x_tail
+
+
+def _shift_params(params: Params, offset: int) -> Params:
+    """Re-key layer params so spec[offset:] lines up with layer0..."""
+    out = {}
+    for k, v in params.items():
+        if k.startswith("layer"):
+            idx = int(k[5:]) - offset
+            if idx >= 0:
+                out[f"layer{idx}"] = v
+    return out
 
 
 def _apply_spec_cnhw(spec: Spec, params: Params, x: Array,

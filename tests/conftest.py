@@ -16,10 +16,12 @@ import jax  # noqa: E402
 import pytest  # noqa: E402
 
 # Compiled Pallas kernels need a TPU; run them interpreted on the CPU backend.
-from affnet_tpu.ops import (pallas_blur, pallas_detect,  # noqa: E402
-                            pallas_patches, pallas_topk, patches)
+from affnet_tpu.ops import (pallas_blur, pallas_conv,  # noqa: E402
+                            pallas_detect, pallas_patches, pallas_topk,
+                            patches)
 
 pallas_blur.INTERPRET = True
+pallas_conv.INTERPRET = True
 pallas_detect.INTERPRET = True
 pallas_patches.INTERPRET = True
 pallas_topk.INTERPRET = True
