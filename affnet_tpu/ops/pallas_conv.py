@@ -71,25 +71,29 @@ def _tap_groups(n_taps: int, c_pad: int):
     return groups
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, *, shifts, groups,
-                 c_pad, out_ch, act, out_dtype):
+def _conv_kernel(shift_ref, x_ref, w_ref, b_ref, m_ref, o_ref, im_ref, *,
+                 n_taps, groups, c_pad, out_ch, act, out_dtype):
+    # Mosaic gives every temporary of an UNROLLED loop its own slot on the
+    # 16 MB scoped-vmem stack (no reuse — an unrolled 9-tap build OOM'd at
+    # C=64), so the tap loop is a TRACED fori_loop: one live rolled
+    # temporary, dynamic roll shift from the scalar-prefetch SMEM table,
+    # stores into the full-K im2col scratch at a dynamic row offset.
     x = x_ref[...]
     bl = x.shape[1]
+
+    def tap(t, carry):
+        xt = pltpu.roll(x, shift_ref[t], 1)
+        im_ref[pl.ds(t * c_pad, c_pad), :] = \
+            xt * m_ref[pl.ds(t, 1), :].astype(x.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_taps, tap, 0, unroll=False)
+
     acc = jnp.zeros((out_ch, bl), jnp.float32)
-    row = 0
-    for group in groups:
-        parts = []
-        for t in group:
-            s = shifts[t]
-            xt = pltpu.roll(x, s, 1) if s else x
-            parts.append(xt * m_ref[t:t + 1, :].astype(x.dtype))
-        im = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        k = len(group) * c_pad
-        wg = w_ref[:, row:row + k]
+    for row, k in groups:                       # static row ranges
         acc = acc + jax.lax.dot_general(
-            wg, im, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        row += k
+            w_ref[:, row:row + k], im_ref[row:row + k, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     y = acc + b_ref[...]
     if act == "relu":
         y = jnp.maximum(y, 0.0)
@@ -146,11 +150,15 @@ def conv_flat(x_flat: Array, w_hwio: Array, bias, *, img_hw, pad: int,
          else bias.astype(jnp.float32))
     b = jnp.broadcast_to(b[:, None], (o, 1))
 
-    groups = _tap_groups(n_taps, c_pad)
+    groups = [(g[0] * c_pad, len(g) * c_pad)
+              for g in _tap_groups(n_taps, c_pad)]
 
-    # Patches per block under the VMEM budget: x + one tap-group im2col
-    # (K_TARGET rows) + f32 accumulator + output.
-    per_lane = 2 * (c_pad + min(_K_TARGET, n_taps * c_pad) + o) + 4 * o
+    # Patches per block under the VMEM budget: x + one live rolled tap +
+    # the full-K im2col scratch + masks + f32 accumulator + output, at the
+    # actual element size.
+    es = jnp.dtype(x_flat.dtype).itemsize
+    k_all = n_taps * c_pad
+    per_lane = es * (2 * c_pad + k_all + o + n_taps) + 4 * o
     pb = max(1, min(n_patches, _VMEM_BUDGET // (per_lane * hw)))
     while n_patches % pb:
         pb -= 1
@@ -159,28 +167,28 @@ def conv_flat(x_flat: Array, w_hwio: Array, bias, *, img_hw, pad: int,
     masks_np = _edge_masks(kh, kw, h, w, pad)
     masks = jnp.asarray(np.tile(masks_np, (1, pb))).astype(x_flat.dtype)
 
-    shifts = []
-    t = 0
-    for r in range(kh):
-        for s in range(kw):
-            off = (r - pad) * w + (s - pad)
-            shifts.append((bl - off) % bl)
-            t += 1
+    shifts = np.array(
+        [(bl - ((r - pad) * w + (s - pad))) % bl
+         for r in range(kh) for s in range(kw)], np.int32)
 
     kern = functools.partial(
-        _conv_kernel, shifts=tuple(shifts), groups=tuple(map(tuple, groups)),
+        _conv_kernel, n_taps=n_taps, groups=tuple(groups),
         c_pad=c_pad, out_ch=o, act=act, out_dtype=x_flat.dtype)
-    grid = (total // bl,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total // bl,),
+        in_specs=[
+            pl.BlockSpec((c_pad, bl), lambda i, sh: (0, i)),
+            pl.BlockSpec((o, k_all), lambda i, sh: (0, 0)),
+            pl.BlockSpec((o, 1), lambda i, sh: (0, 0)),
+            pl.BlockSpec((n_taps, bl), lambda i, sh: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((o, bl), lambda i, sh: (0, i)),
+        scratch_shapes=[pltpu.VMEM((k_all, bl), x_flat.dtype)],
+    )
     return pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((c_pad, bl), lambda i: (0, i)),
-            pl.BlockSpec((o, n_taps * c_pad), lambda i: (0, 0)),
-            pl.BlockSpec((o, 1), lambda i: (0, 0)),
-            pl.BlockSpec((n_taps, bl), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((o, bl), lambda i: (0, i)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((o, total), x_flat.dtype),
         interpret=interpret,
-    )(x_flat, wt, b, masks)
+    )(jnp.asarray(shifts), x_flat, wt, b, masks)
