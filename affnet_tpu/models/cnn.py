@@ -501,7 +501,9 @@ def _apply_spec_flat(spec: Spec, params: Params, x: Array,
                 i = j
                 continue
             if (layer.out_ch % 8 or kh != kw or layer.stride not in (1, 2)
-                    or kh >= min(h, w)):
+                    or kh >= min(h, w)
+                    or pallas_conv.block_patches(
+                        dt, c_pad, layer.out_ch, kh * kw, h * w) == 0):
                 break                         # stock tail handles the rest
             xf = pallas_conv.conv_flat(
                 xf, wgt.astype(dt), bias, img_hw=(h, w), pad=layer.pad,

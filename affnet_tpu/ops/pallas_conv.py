@@ -37,6 +37,7 @@ against lax.conv for every zoo net (tests/test_models.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -49,9 +50,11 @@ Array = jax.Array
 # Flipped to True by tests/conftest.py on the CPU backend.
 INTERPRET = False
 
-# Per-block VMEM budget for choosing patches-per-block (bytes, ~2/3 of the
-# 16 MB VMEM so the compiler can double-buffer the streams).
-_VMEM_BUDGET = 10 * 2 ** 20
+# Per-block VMEM budget for choosing patches-per-block (bytes): the 16 MB
+# scoped-vmem stack must also hold the per-group matmul/accumulate
+# temporaries the per_lane estimate below can't see (measured overrun at a
+# 10 MB budget: 17.35M > 16M on the f32 C=64 layer), so leave ~25% slack.
+_VMEM_BUDGET = 8 * 2 ** 20
 _K_TARGET = 256          # max contraction depth per tap group
 
 
@@ -71,29 +74,37 @@ def _tap_groups(n_taps: int, c_pad: int):
     return groups
 
 
-def _conv_kernel(shift_ref, x_ref, w_ref, b_ref, m_ref, o_ref, im_ref, *,
-                 n_taps, groups, c_pad, out_ch, act, out_dtype):
+def _conv_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, im_ref, *,
+                 shifts, groups, c_pad, out_ch, act, out_dtype):
     # Mosaic gives every temporary of an UNROLLED loop its own slot on the
-    # 16 MB scoped-vmem stack (no reuse — an unrolled 9-tap build OOM'd at
-    # C=64), so the tap loop is a TRACED fori_loop: one live rolled
-    # temporary, dynamic roll shift from the scalar-prefetch SMEM table,
-    # stores into the full-K im2col scratch at a dynamic row offset.
+    # 16 MB scoped-vmem stack when they all stay live (a 9-tap concat
+    # build OOM'd at C=64), so each rolled tap is STORED into the full-K
+    # im2col VMEM scratch immediately — liveness is one rolled temporary
+    # + the scratch.  tpu.dynamic_rotate (what pltpu.roll lowers to, even
+    # for constant shifts) is unimplemented for 16-bit data on this
+    # Mosaic, so the roll happens on an f32 upcast and the masked tap is
+    # cast back to the storage dtype — the im2col scratch and the MXU
+    # matmuls below stay bf16 in fast mode.
     x = x_ref[...]
     bl = x.shape[1]
+    x32 = x.astype(jnp.float32)
+    for t, s in enumerate(shifts):
+        xt = pltpu.roll(x32, s, 1) if s else x32
+        im_ref[t * c_pad:(t + 1) * c_pad, :] = \
+            (xt * m_ref[t:t + 1, :].astype(jnp.float32)).astype(x.dtype)
 
-    def tap(t, carry):
-        xt = pltpu.roll(x, shift_ref[t], 1)
-        im_ref[pl.ds(t * c_pad, c_pad), :] = \
-            xt * m_ref[pl.ds(t, 1), :].astype(x.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, n_taps, tap, 0, unroll=False)
-
+    # bf16 operands must contract at DEFAULT precision: the package-level
+    # jax_default_matmul_precision=float32 pin reaches in here, and
+    # tpu.matmul with bf16 operands + fp32 contract precision is "Bad lhs
+    # type" to Mosaic.  f32 accumulation comes from preferred_element_type.
+    prec = (jax.lax.Precision.HIGHEST if out_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     acc = jnp.zeros((out_ch, bl), jnp.float32)
     for row, k in groups:                       # static row ranges
         acc = acc + jax.lax.dot_general(
             w_ref[:, row:row + k], im_ref[row:row + k, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec)
     y = acc + b_ref[...]
     if act == "relu":
         y = jnp.maximum(y, 0.0)
@@ -120,6 +131,27 @@ def _edge_masks(kh: int, kw: int, h: int, w: int, pad: int):
             masks[t] = ok.reshape(-1)
             t += 1
     return masks
+
+
+def block_patches(dtype, c_pad: int, o: int, n_taps: int, hw: int) -> int:
+    """Patches per VMEM block the kernel will use, or 0 if no legal block
+    fits the budget.
+
+    Mosaic requires the block lane dim bl = pb*hw to be a multiple of 128,
+    so pb must be a multiple of q = 128/gcd(hw, 128); when even the q-patch
+    block exceeds the budget (e.g. TFeat's 6x6-tap conv on odd 13x13 maps,
+    where q = 128 forces a 47 MB block) there is no legal block and the
+    caller must use the stock XLA path for that layer."""
+    es = jnp.dtype(dtype).itemsize
+    k_all = n_taps * c_pad
+    # x (double-buffered across grid steps) + f32 upcast + one live rolled
+    # f32 tap + im2col scratch + masks + f32 accumulator + output
+    # (double-buffered).
+    per_lane = (es * (2 * c_pad + k_all + 2 * o + n_taps)
+                + 4 * (2 * c_pad + o))
+    q = 128 // math.gcd(hw, 128)
+    pb_budget = _VMEM_BUDGET // (per_lane * hw)
+    return pb_budget // q * q if pb_budget >= q else 0
 
 
 def conv_flat(x_flat: Array, w_hwio: Array, bias, *, img_hw, pad: int,
@@ -155,40 +187,48 @@ def conv_flat(x_flat: Array, w_hwio: Array, bias, *, img_hw, pad: int,
 
     # Patches per block under the VMEM budget: x + one live rolled tap +
     # the full-K im2col scratch + masks + f32 accumulator + output, at the
-    # actual element size.
-    es = jnp.dtype(x_flat.dtype).itemsize
+    # actual element size.  Mosaic requires the block lane dim bl = pb*hw
+    # to be a multiple of 128 (interpret mode does NOT check this), so pb
+    # is a multiple of 128/gcd(hw, 128) and the patch count is zero-padded
+    # up to a whole number of blocks (dead patches are cropped off below).
     k_all = n_taps * c_pad
-    per_lane = es * (2 * c_pad + k_all + o + n_taps) + 4 * o
-    pb = max(1, min(n_patches, _VMEM_BUDGET // (per_lane * hw)))
-    while n_patches % pb:
-        pb -= 1
+    pb = block_patches(x_flat.dtype, c_pad, o, n_taps, hw)
+    if pb == 0:
+        raise ValueError(
+            f"conv_flat: no legal VMEM block for c_pad={c_pad} o={o} "
+            f"taps={n_taps} hw={hw} — callers must pre-check block_patches")
+    n_pad = -(-n_patches // pb) * pb
+    if n_pad * hw != total:
+        x_flat = jnp.pad(x_flat, ((0, 0), (0, n_pad * hw - total)))
+    total_pad = n_pad * hw
     bl = pb * hw
 
     masks_np = _edge_masks(kh, kw, h, w, pad)
     masks = jnp.asarray(np.tile(masks_np, (1, pb))).astype(x_flat.dtype)
 
-    shifts = np.array(
-        [(bl - ((r - pad) * w + (s - pad))) % bl
-         for r in range(kh) for s in range(kw)], np.int32)
+    shifts = tuple(
+        (bl - ((r - pad) * w + (s - pad))) % bl
+        for r in range(kh) for s in range(kw))
 
     kern = functools.partial(
-        _conv_kernel, n_taps=n_taps, groups=tuple(groups),
+        _conv_kernel, shifts=shifts, groups=tuple(groups),
         c_pad=c_pad, out_ch=o, act=act, out_dtype=x_flat.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(total // bl,),
+        num_scalar_prefetch=0,
+        grid=(total_pad // bl,),
         in_specs=[
-            pl.BlockSpec((c_pad, bl), lambda i, sh: (0, i)),
-            pl.BlockSpec((o, k_all), lambda i, sh: (0, 0)),
-            pl.BlockSpec((o, 1), lambda i, sh: (0, 0)),
-            pl.BlockSpec((n_taps, bl), lambda i, sh: (0, 0)),
+            pl.BlockSpec((c_pad, bl), lambda i: (0, i)),
+            pl.BlockSpec((o, k_all), lambda i: (0, 0)),
+            pl.BlockSpec((o, 1), lambda i: (0, 0)),
+            pl.BlockSpec((n_taps, bl), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((o, bl), lambda i, sh: (0, i)),
+        out_specs=pl.BlockSpec((o, bl), lambda i: (0, i)),
         scratch_shapes=[pltpu.VMEM((k_all, bl), x_flat.dtype)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((o, total), x_flat.dtype),
+        out_shape=jax.ShapeDtypeStruct((o, total_pad), x_flat.dtype),
         interpret=interpret,
-    )(jnp.asarray(shifts), x_flat, wt, b, masks)
+    )(x_flat, wt, b, masks)
+    return out[:, :total] if total_pad != total else out
