@@ -294,6 +294,25 @@ class ScaleSpaceAffinePatchExtractor:
         overflow = cand.get("n_overflow", jnp.zeros((), jnp.int32)) + ovf
         return {**cand, "lafs": lafs, "n_overflow": overflow}
 
+    def _sort_spatial(self, cand, plan: PyramidPlan):
+        """Window-origin sort of the candidate set (shape-site key) so the
+        Pallas sampler's shared-window DMA dedup (ops.patches.DEDUP_WINDOWS)
+        sees multi-scale detections of one corner ADJACENTLY — equal
+        quantized origins then share one DMA at the shape AND orientation
+        sites (centers don't move between them).  The inverse permutation is
+        carried in ``restore``/``order`` and undone on the host, so the
+        emitted keypoint order is unchanged."""
+        from .ops.pallas_patches import origin_sort_key
+        offs, hs, ws = (jnp.asarray(t) for t in plan.level_dims_padded())
+        key = origin_sort_key(cand["lafs"], cand["ext_level"], offs, hs, ws,
+                              self.cfg.patch_size, self.cfg.align_corners)
+        order = jnp.argsort(key)
+        perm = {k: cand[k][order] for k in
+                ("lafs", "resp", "valid", "orig_idx", "ext_level",
+                 "oct_idx", "level_idx")}
+        return {**cand, **perm, "order": order,
+                "restore": jnp.argsort(order).astype(jnp.int32)}
+
     def _sort_for_describe(self, cand, plan: PyramidPlan, h: int, w: int):
         """Reorder the candidate set by ascending descriptor-sample extent
         so the desc gather can run its bucketed windows (ops/patches.py
@@ -310,11 +329,31 @@ class ScaleSpaceAffinePatchExtractor:
         eu, ev = sample_extents(cand["lafs"], lvl, hs, ws,
                                 cfg.patch_size, cfg.align_corners)
         order = jnp.argsort(jnp.maximum(eu, ev))
+        from .ops import patches as patches_mod
+        if patches_mod.DEDUP_WINDOWS:
+            # Secondary sort for the shared-window DMA dedup: within each
+            # STATIC desc bucket slice (membership — hence window class and
+            # cost — is fixed by the extent order), reorder by quantized
+            # window origin so same-corner detections sit adjacently.
+            # jnp.argsort is stable, so equal origins keep extent order.
+            from .ops.pallas_patches import bucket_sizes, origin_sort_key
+            import numpy as _np
+            n = cand["lafs"].shape[0]
+            sizes = bucket_sizes(n, [b[0] for b in patches_mod.DESC_BUCKETS])
+            bucket_of_pos = jnp.asarray(
+                _np.repeat(_np.arange(len(sizes), dtype=_np.int64), sizes))
+            okey = origin_sort_key(cand["lafs"], lvl, offs, hs, ws,
+                                   cfg.patch_size, cfg.align_corners)
+            skey = bucket_of_pos * (2 ** 28) + okey[order].astype(jnp.int64)
+            order = order[jnp.argsort(skey)]
+        # Compose with any earlier (spatial) sort so the host-side restore
+        # maps straight back to the original top-k order.
+        total = cand["order"][order] if "order" in cand else order
         perm = {k: cand[k][order] for k in
                 ("lafs", "resp", "valid", "orig_idx", "ext_level",
                  "oct_idx", "level_idx")}
         return {**cand, **perm, "desc_level": lvl[order],
-                "restore": jnp.argsort(order).astype(jnp.int32)}
+                "restore": jnp.argsort(total).astype(jnp.int32)}
 
     def _describe(self, params, cand, plan: PyramidPlan, h: int, w: int):
         """Descriptor-patch extraction with scale-aware level selection +
@@ -353,6 +392,10 @@ class ScaleSpaceAffinePatchExtractor:
                 [self.cfg.mr_size * cand["lafs"][:, :, 0:2],
                  cand["lafs"][:, :, 2:]], axis=2)
             cand = {**cand, "lafs": lafs}
+            from .ops import patches as patches_mod
+            if patches_mod.DEDUP_WINDOWS and (
+                    self.cfg.num_baum_iters > 0 or do_ori):
+                cand = self._sort_spatial(cand, plan)
             if self.cfg.num_baum_iters > 0:
                 cand = self._affine_shape(params, cand, plan)
             if do_ori:
@@ -375,9 +418,12 @@ class ScaleSpaceAffinePatchExtractor:
                                                      h, w)
                 out["patches"] = patches
                 out["descs"] = descs
-                out["restore"] = cand["restore"]
                 out["n_overflow"] = out.get(
                     "n_overflow", jnp.zeros((), jnp.int32)) + ovf
+            if "restore" in cand:
+                # Device arrays are permuted (spatial and/or extent sort);
+                # the host puts them back into reference order.
+                out["restore"] = cand["restore"]
             return out
 
         return jax.jit(fn), plan

@@ -94,7 +94,7 @@ def _chunking(ps: int, chunk_samples: int) -> Tuple[int, int, int]:
 def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
                     *, ps: int, p: int, rw: int, cw: int, fetch_cols: int,
                     n_steps: int, chunk_samples: int, ga: float, gb: float,
-                    mxu_dtype, fold_masks: bool = True):
+                    mxu_dtype, fold_masks: bool = True, dedup: bool = False):
     """Grid step = P patches.  blk/meta are scalar-prefetch (SMEM) tables:
     per-patch window origins (element-granular) and sampling parameters.
     buf_ref stays in HBM; windows are copied into the (2, P, RW, fetch_cols)
@@ -110,31 +110,47 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
     i = pl.program_id(0)
     sc, n_chunks, _ = _chunking(ps, chunk_samples)
     nbuf = win_ref.shape[0]
+    bw = 3 if dedup else 2  # per-patch blk row: (r0, c0[, dup])
 
     def dma(step, slot, q):
         # Origins are quantized to the (QR, QC) tile by the wrapper; the
         # multiple_of hints let Mosaic slice the tiled HBM memref.
-        r0 = pl.multiple_of(blk_ref[(step * p + q) * 2], QR)
+        r0 = pl.multiple_of(blk_ref[(step * p + q) * bw], QR)
         src = buf_ref.at[pl.ds(r0, rw), :]
         return pltpu.make_async_copy(src, win_ref.at[slot, q],
                                      sem_ref.at[slot, q])
+
+    def is_dup(step, q):
+        # dup=1: this patch's quantized window origin equals patch q-1's of
+        # the SAME grid step (the wrapper forces dup=0 at q == 0), so its
+        # window bytes are already being fetched by the run head — skip the
+        # DMA and chain-select the previous patch's raw window below.
+        return blk_ref[(step * p + q) * bw + 2] == 1
+
+    def start_dma(step, slot, q):
+        if dedup and q > 0:
+            @pl.when(jnp.logical_not(is_dup(step, q)))
+            def _():
+                dma(step, slot, q).start()
+        else:
+            dma(step, slot, q).start()
 
     if nbuf == 1:
         # Single-buffered (big-window bucket: the window pair would not fit
         # VMEM): DMAs issue at the top of the step, no cross-step overlap.
         for q in range(p):
-            dma(i, 0, q).start()
+            start_dma(i, 0, q)
         slot = 0
     else:
         @pl.when(i == 0)
         def _():
             for q in range(p):
-                dma(0, 0, q).start()
+                start_dma(0, 0, q)
 
         @pl.when(i + 1 < n_steps)
         def _():
             for q in range(p):
-                dma(i + 1, (i + 1) % 2, q).start()
+                start_dma(i + 1, (i + 1) % 2, q)
 
         slot = i % 2
 
@@ -151,13 +167,28 @@ def _sampler_kernel(blk_ref, meta_ref, buf_ref, out_ref, win_ref, sem_ref,
     c_ids = jax.lax.broadcasted_iota(jnp.int32, (cw, sc), 0) \
         .astype(jnp.float32)
 
+    prev_raw = None
     for q in range(p):
-        dma(i, slot, q).wait()
+        if dedup and q > 0:
+            @pl.when(jnp.logical_not(is_dup(i, q)))
+            def _(q=q):
+                dma(i, slot, q).wait()
+        else:
+            dma(i, slot, q).wait()
         if fetch_cols > cw:
-            c0 = pl.multiple_of(blk_ref[(i * p + q) * 2 + 1], QC)
+            c0 = pl.multiple_of(blk_ref[(i * p + q) * bw + 1], QC)
             window = win_ref[slot, q, :, pl.ds(c0, cw)]  # (RW, CW)
         else:
             window = win_ref[slot, q]                    # (RW, CW)
+        if dedup:
+            # Chain-select: a dup patch's own scratch slot is stale (its DMA
+            # never issued) — take the previous patch's raw window instead.
+            # Identical quantized origin ⇒ identical buffer bytes, whatever
+            # the level; masks/meta below stay per-patch.  The select is one
+            # (RW, CW) VPU pass, noise next to the tent matmul.
+            if q > 0:
+                window = jnp.where(is_dup(i, q), prev_raw, window)
+            prev_raw = window
 
         base = (i * p + q) * META_W
         b11 = meta_ref[base + 0]
@@ -240,7 +271,7 @@ def extract_patches_window_matmul(buf2d: Array, lafs: Array,
 @functools.partial(jax.jit, static_argnames=(
     "ps", "align_corners", "window_rows", "window_cols", "patches_per_step",
     "fallback_slots", "chunk_samples", "mxu_dtype", "interpret", "n_buffers",
-    "return_miss_overflow", "fold_masks"))
+    "return_miss_overflow", "fold_masks", "dedup_windows"))
 def _window_matmul_jit(buf2d: Array, lafs: Array,
                                   level_idx: Array, row_offsets: Array,
                                   heights: Array, widths: Array,
@@ -254,7 +285,8 @@ def _window_matmul_jit(buf2d: Array, lafs: Array,
                                   interpret: bool = False,
                                   n_buffers: int = 2,
                                   return_miss_overflow: bool = False,
-                                  fold_masks: bool = True):
+                                  fold_masks: bool = True,
+                                  dedup_windows: bool = False):
     """Drop-in replacement for patches.extract_patches_from_flat_pyramid.
 
     With ``return_miss_overflow`` returns ``(patches, n_overflow)`` where
@@ -379,7 +411,26 @@ def _window_matmul_jit(buf2d: Array, lafs: Array,
         r0_tiled = jnp.pad(r0_tiled, (0, n_pad - n))
     # Scalar-prefetch operands must be 1-D: 2-D SMEM arrays are lane-padded
     # to 128 columns (a (2000, 2) table would occupy 1 MB of the 1 MB SMEM).
-    blk = jnp.stack([r0_tiled, c0_local], axis=1).reshape(-1)  # (n_pad*2,)
+    if dedup_windows:
+        # Shared-window DMA dedup: a patch whose quantized window origin
+        # equals its predecessor's (same grid step) reuses the predecessor's
+        # fetched window inside the kernel instead of issuing its own DMA —
+        # the per-patch DMA-issue floor (~0.95 us, CLAUDE.md) is the sampler
+        # bottleneck, and keypoints cluster (multi-scale detections at one
+        # corner share the quantized origin).  Only ADJACENT equal origins
+        # dedup; origin-aware input ordering maximizes the hit rate.
+        same = ((r0_tiled[1:] == r0_tiled[:-1])
+                & (c0_local[1:] == c0_local[:-1]))
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), same.astype(jnp.int32)])
+        # A grid step's first patch always issues (runs cannot cross steps:
+        # the chain-select state resets every step).
+        dup = jnp.where(jnp.arange(n_pad) % p == 0, 0, dup)
+        blk = jnp.stack([r0_tiled, c0_local, dup], axis=1).reshape(-1)
+        bw = 3
+    else:
+        blk = jnp.stack([r0_tiled, c0_local], axis=1).reshape(-1)
+        bw = 2
     meta = meta.reshape(-1)                          # (n_pad*META_W,)
 
     _, _, s_pad = _chunking(ps, chunk_samples)
@@ -402,13 +453,13 @@ def _window_matmul_jit(buf2d: Array, lafs: Array,
         kernel = functools.partial(
             _sampler_kernel, ps=ps, p=p, rw=rw, cw=cw, fetch_cols=fetch_cols,
             n_steps=n_steps, chunk_samples=chunk_samples, ga=ga, gb=gb,
-            mxu_dtype=mxu_dtype, fold_masks=fold_masks)
+            mxu_dtype=mxu_dtype, fold_masks=fold_masks, dedup=dedup_windows)
         flats.append(pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ng, s_pad), dt),
             interpret=interpret,
-        )(blk[g0 * 2:(g0 + ng) * 2], meta[g0 * META_W:(g0 + ng) * META_W],
+        )(blk[g0 * bw:(g0 + ng) * bw], meta[g0 * META_W:(g0 + ng) * META_W],
           buf_tiled))
     flat = jnp.concatenate(flats)[:n, :ps * ps] if len(flats) > 1 \
         else flats[0][:n, :ps * ps]
@@ -494,12 +545,76 @@ def sample_extents(lafs: Array, level_idx: Array, heights: Array,
     return jnp.where(bad, big, eu), jnp.where(bad, big, ev)
 
 
+def window_origin_keys(lafs: Array, level_idx: Array, row_offsets: Array,
+                       heights: Array, widths: Array, ps: int,
+                       align_corners: bool):
+    """Quantized window-origin sort keys (qr, qc): the (QR, QC)-quantized
+    row/column cell the sampler's window DMA would start at (same math as
+    the wrapper, unclamped).  Patches adjacent in (qr, qc) order land on
+    EQUAL quantized origins when they view the same image region, which is
+    what the shared-window DMA dedup (``dedup_windows``) needs to skip
+    their DMAs.  NaN/inf LAFs map to large keys (sort last, never dedup)."""
+    dt = jnp.float32
+    h_l = heights[level_idx].astype(dt)
+    w_l = widths[level_idx].astype(dt)
+    roff = row_offsets[level_idx].astype(dt)
+    m = jnp.minimum(h_l, w_l)
+    A = lafs[:, :2, :2].astype(dt)
+    if align_corners:
+        su = (w_l - 1.0) / w_l
+        sv = (h_l - 1.0) / h_l
+        cu = jnp.zeros_like(su)
+    else:
+        su = jnp.ones_like(w_l)
+        sv = jnp.ones_like(h_l)
+        cu = jnp.full_like(su, -0.5)
+    ga, gb = _grid_coeff(ps, align_corners)
+    gmax = max(abs(ga * (ps - 1) + gb), abs(gb))
+    eu = (jnp.abs(m * A[:, 0, 0] * su) + jnp.abs(m * A[:, 0, 1] * su)) * gmax
+    ev = (jnp.abs(m * A[:, 1, 0] * sv) + jnp.abs(m * A[:, 1, 1] * sv)) * gmax
+    u_lo = w_l * lafs[:, 0, 2].astype(dt) * su + cu - eu
+    v_lo = h_l * lafs[:, 1, 2].astype(dt) * sv + cu + roff - ev
+    big = jnp.float32(2 ** 20)
+    u_lo = jnp.where(jnp.isfinite(u_lo), u_lo, big)
+    v_lo = jnp.where(jnp.isfinite(v_lo), v_lo, big)
+    qr = jnp.clip(jnp.floor(v_lo).astype(jnp.int32) // QR, 0, 2 ** 17 - 1)
+    qc = jnp.clip(jnp.floor(u_lo).astype(jnp.int32) // QC, 0, 2 ** 10 - 1)
+    return qr, qc
+
+
+def origin_sort_key(lafs: Array, level_idx: Array, row_offsets: Array,
+                    heights: Array, widths: Array, ps: int,
+                    align_corners: bool) -> Array:
+    """Single int32 lexicographic (qr, qc) key for window-origin sorting."""
+    qr, qc = window_origin_keys(lafs, level_idx, row_offsets, heights,
+                                widths, ps, align_corners)
+    return qr * (2 ** 10) + qc
+
+
+def bucket_sizes(n: int, fracs) -> list:
+    """Static per-bucket patch counts for ``extract_patches_bucketed``:
+    fraction-of-n slices rounded down to multiples of 8, remainder to the
+    last (None-frac) bucket.  Shared with detector._sort_for_describe so an
+    in-bucket secondary sort sees the exact slice boundaries."""
+    sizes = []
+    used = 0
+    for i, f in enumerate(fracs):
+        if i == len(fracs) - 1:
+            sizes.append(n - used)
+        else:
+            s = min(max(0, int(n * f) // 8 * 8), n - used)
+            sizes.append(s)
+            used += s
+    return sizes
+
+
 def extract_patches_bucketed(buf2d: Array, lafs: Array, level_idx: Array,
                              row_offsets: Array, heights: Array,
                              widths: Array, ps: int, align_corners: bool,
                              buckets, fallback_slots: int,
                              mxu_dtype=jnp.float32,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             dedup_windows: bool = False):
     """Multi-window extraction for EXTENT-SORTED inputs: slice the (sorted)
     LAF list into static-capacity buckets, each sampled with a window sized
     for its extent class (the dense tent matmuls and window DMAs scale with
@@ -512,16 +627,7 @@ def extract_patches_bucketed(buf2d: Array, lafs: Array, level_idx: Array,
     n_overflow counts fallback-capacity overflows (truncated patches) summed
     over buckets — callers must surface nonzero counts."""
     n = lafs.shape[0]
-    fracs = [b[0] for b in buckets]
-    sizes = []
-    used = 0
-    for i, f in enumerate(fracs):
-        if i == len(fracs) - 1:
-            sizes.append(n - used)
-        else:
-            s = min(max(0, int(n * f) // 8 * 8), n - used)
-            sizes.append(s)
-            used += s
+    sizes = bucket_sizes(n, [b[0] for b in buckets])
     outs, overflows = [], []
     start = 0
     for (frac, cfg), size in zip(buckets, sizes):
@@ -534,7 +640,8 @@ def extract_patches_bucketed(buf2d: Array, lafs: Array, level_idx: Array,
             buf2d, lafs[sl], level_idx[sl], row_offsets, heights, widths,
             ps=ps, align_corners=align_corners,
             fallback_slots=slots, mxu_dtype=mxu_dtype,
-            interpret=interpret, return_miss_overflow=True, **cfg)
+            interpret=interpret, return_miss_overflow=True,
+            dedup_windows=dedup_windows, **cfg)
         outs.append(res)
         overflows.append(ovf)
         start += size

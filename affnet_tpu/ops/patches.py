@@ -251,6 +251,12 @@ USE_PALLAS_BATCHED = True
 # 1080p are prohibitively slow) and exercise the kernel directly instead.
 USE_PALLAS = True
 
+# Shared-window DMA dedup in the Pallas sampler (pallas_patches.py): adjacent
+# patches with equal quantized window origins share one DMA.  Hit rate
+# depends on input adjacency (multi-scale detections of one corner); the
+# flag is a site-wide A/B switch (scripts/bench_dedup.py).
+DEDUP_WINDOWS = False
+
 
 def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
                             row_offsets: Array, heights: Array,
@@ -289,12 +295,12 @@ def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
             patches, ovf = extract_patches_bucketed(
                 buf2d, lafs, level_idx, row_offsets, heights, widths,
                 ps=ps, align_corners=align_corners, buckets=DESC_BUCKETS,
-                fallback_slots=slots, **kw)
+                fallback_slots=slots, dedup_windows=DEDUP_WINDOWS, **kw)
         else:
             patches, ovf = extract_patches_window_matmul(
                 buf2d, lafs, level_idx, row_offsets, heights, widths,
                 ps=ps, align_corners=align_corners,
-                fallback_slots=slots,
+                fallback_slots=slots, dedup_windows=DEDUP_WINDOWS,
                 return_miss_overflow=True, **PALLAS_SITES[site], **kw)
         if return_miss_overflow:
             return patches, ovf

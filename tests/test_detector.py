@@ -175,6 +175,34 @@ class TestPallasPathGolden:
         np.testing.assert_allclose(np.linalg.norm(out["descs"], axis=1),
                                    1.0, atol=1e-3)
 
+    def test_dedup_windows_order_and_values_invariant(self, golden,
+                                                      aff_params,
+                                                      monkeypatch):
+        """DEDUP_WINDOWS=True routes the pipeline through the spatial
+        candidate sort + in-bucket origin sort + shared-window DMA dedup;
+        the host restore must put every output back into reference order
+        and values must match the flag-off run (same kernels, same math —
+        only DMA sharing and input order differ)."""
+        from affnet_tpu.ops import patches as patches_mod
+        cfg = DetectorConfig(num_features=50, border=5, mr_size=5.192,
+                             fused_detect=False, num_baum_iters=1, th=None,
+                             patch_size=32)
+        det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
+                                             desc_net=SIFTNet(patch_size=32))
+        base = det(golden["img"], params={"aff": aff_params}, describe=True)
+        monkeypatch.setattr(patches_mod, "DEDUP_WINDOWS", True)
+        det2 = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
+                                              desc_net=SIFTNet(patch_size=32))
+        out = det2(golden["img"], params={"aff": aff_params}, describe=True)
+        assert len(out["resp"]) == len(base["resp"])
+        np.testing.assert_array_equal(out["orig_idx"], base["orig_idx"])
+        np.testing.assert_allclose(out["lafs"], base["lafs"],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(out["patches"], base["patches"],
+                                   rtol=1e-4, atol=0.02)
+        np.testing.assert_allclose(out["descs"], base["descs"],
+                                   rtol=1e-3, atol=2e-3)
+
     def test_threshold_mode_pallas_with_fallback(self, golden, aff_params,
                                                  monkeypatch):
         """Threshold mode (the extract_geom CLI config) through the Pallas

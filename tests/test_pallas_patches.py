@@ -106,6 +106,40 @@ def test_window_matmul_grouped_calls(monkeypatch):
                                rtol=5e-5, atol=5e-3)
 
 
+@pytest.mark.parametrize("wide", [False, True])
+def test_window_matmul_dedup_matches_xla(wide):
+    """Shared-window DMA dedup (dedup_windows=True): adjacent patches with
+    equal quantized origins reuse one DMA via the in-kernel chain-select.
+    Repeated LAFs guarantee dup hits (identical origin by construction);
+    interleaved clusters + randoms + a cross-level origin collision check
+    that values still match the XLA path exactly."""
+    rng = np.random.RandomState(7)
+    shapes = [(256, 640), (128, 320)] if wide else [(100, 160), (50, 80)]
+    buf, offs, hs, ws = _fake_pyramid(rng, shapes)
+    rnd = np.asarray(_random_lafs(rng, 10, (0.02, 0.15)))
+    # Clusters: identical LAFs (certain dups), same-center slight-scale
+    # variants (likely dups), plus the randoms.
+    c0 = np.tile(rnd[0:1], (5, 1, 1))
+    c1 = np.tile(rnd[1:2], (4, 1, 1))
+    c1[:, :2, :2] *= np.linspace(0.95, 1.05, 4)[:, None, None]
+    lafs = jnp.asarray(np.concatenate([c0, c1, rnd]).astype(np.float32))
+    n = lafs.shape[0]
+    lvl = np.zeros(n, np.int32)
+    lvl[2] = 1  # same LAF, different level: origin may collide, bytes differ
+    lvl[19:] = rng.randint(0, 2, n - 19)
+    lvl = jnp.asarray(lvl)
+
+    ref = extract_patches_from_flat_pyramid(buf, lafs, lvl, offs, hs, ws,
+                                            ps=32)
+    for pps in (8, 16):
+        got = extract_patches_window_matmul(
+            buf, lafs, lvl, offs, hs, ws, ps=32,
+            window_rows=64, window_cols=256, patches_per_step=pps,
+            fallback_slots=8, dedup_windows=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=5e-5, atol=5e-3)
+
+
 def test_window_matmul_bf16_fast_mode():
     """bf16 gather matmuls (fast mode) stay within ~1 grey level of f32."""
     rng = np.random.RandomState(4)

@@ -118,3 +118,34 @@ def test_patch_sampler_compiled_matches_xla():
     # 0-255-scale pixels: ~2e-3 abs = ~1e-5 relative, the f32
     # summation-order gap between the tent-matmul and 4-corner forms.
     assert np.abs(got - ref).max() < 8e-3
+
+
+def test_patch_sampler_dedup_compiled_matches_xla():
+    """Shared-window DMA dedup, Mosaic-compiled: repeated LAFs (certain
+    dup hits) must match the XLA path — catches conditional-DMA / select
+    lowering divergence from the interpreted test."""
+    from affnet_tpu.ops import patches
+    from affnet_tpu.ops.pallas_patches import extract_patches_window_matmul
+    rng = np.random.RandomState(5)
+    h, w = 96, 160
+    buf = jnp.asarray(rng.uniform(0, 255, (2 * h, w)).astype(np.float32))
+    offs = jnp.asarray(np.array([0, h], np.int32))
+    hs = jnp.asarray(np.array([h, h], np.int32))
+    ws = jnp.asarray(np.array([w, w], np.int32))
+    base = 16
+    ang = rng.uniform(0, 2 * np.pi, base)
+    c, s = np.cos(ang), np.sin(ang)
+    A = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], 1) \
+        * rng.uniform(0.02, 0.1, base)[:, None, None]
+    t = rng.uniform(0.2, 0.8, (base, 2, 1))
+    lafs_np = np.concatenate([A, t], 2).astype(np.float32)
+    lafs_np = np.repeat(lafs_np, 4, axis=0)       # runs of 4 identical LAFs
+    lvl_np = np.repeat(rng.randint(0, 2, base), 4).astype(np.int32)
+    lafs, lvl = jnp.asarray(lafs_np), jnp.asarray(lvl_np)
+    got = np.asarray(extract_patches_window_matmul(
+        buf, lafs, lvl, offs, hs, ws, ps=19, interpret=False,
+        window_rows=64, window_cols=256, patches_per_step=8,
+        fallback_slots=8, dedup_windows=True))
+    ref = np.asarray(patches.extract_patches_from_flat_pyramid(
+        buf, lafs, lvl, offs, hs, ws, ps=19))
+    assert np.abs(got - ref).max() < 8e-3
