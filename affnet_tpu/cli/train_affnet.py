@@ -47,6 +47,14 @@ def build_parser():
                    help="shard the batch over N devices (0 = single device)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on offline synthetic pairs (no dataset needed)")
+    p.add_argument("--gen-tilt", type=float, default=3.0,
+                   help="synthetic generator: max anisotropic view tilt")
+    p.add_argument("--gen-mesh", type=float, default=0.0,
+                   help="synthetic generator: non-planar mesh-warp "
+                        "amplitude in px (curved-surface parallax)")
+    p.add_argument("--gen-blur", type=float, default=0.0,
+                   help="synthetic generator: max per-view Gaussian blur "
+                        "sigma (cross-view defocus mismatch)")
     p.add_argument("--conv-vjp", choices=["xla", "explicit"], default="xla",
                    help="conv backward strategy: 'explicit' compiles the "
                         "train step far faster on the remote compile "
@@ -71,7 +79,10 @@ def make_dataset(args):
             # Multi-image, tilt-diverse, photometrically-jittered classes
             # from NON-test reference images (no graf leakage).
             patches, labels = D.synthetic_pairs_from_images(
-                imgs, n_classes=8192, views_per_class=6, seed=args.seed)
+                imgs, n_classes=8192, views_per_class=6, seed=args.seed,
+                max_tilt=getattr(args, "gen_tilt", 3.0),
+                mesh_warp=getattr(args, "gen_mesh", 0.0),
+                blur_jitter=getattr(args, "gen_blur", 0.0))
         else:
             from PIL import Image
             img = np.mean(np.asarray(Image.open(

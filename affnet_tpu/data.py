@@ -519,7 +519,9 @@ def synthetic_pairs_from_images(imgs, n_classes: int = 8192,
                                 rot_jitter: float = 0.35,
                                 perspective: float = 0.004,
                                 occlude_prob: float = 0.25,
-                                anchor_scale_range=(0.6, 1.8)):
+                                anchor_scale_range=(0.6, 1.8),
+                                mesh_warp: float = 0.0,
+                                blur_jitter: float = 0.0):
     """Multi-image synthetic patch classes approximating PhotoTour's
     viewpoint diversity (reference dataset.py:292-419): corner-ish anchor
     locations (gradient-energy-weighted sampling), per-view random
@@ -546,6 +548,19 @@ def synthetic_pairs_from_images(imgs, n_classes: int = 8192,
       - ``anchor_scale_range``: per-class context scale s0 (the 2x context
         is cropped at s0 and resized back), so classes live across the
         scale range the detector feeds AffNet, not at one blur level.
+
+    Round-5 additions (VERDICT r4 missing #1: planar-dominated supervision
+    tops out ~0.31-0.37 graf1-4 inliers vs 0.671 shipped):
+
+      - ``mesh_warp``: per-view smooth NON-PLANAR displacement field (sum of
+        three random low-frequency sinusoids, amplitude up to ``mesh_warp``
+        px, zeroed at the patch center so class correspondence is exact
+        there) added to the inverse map — curved-surface parallax that a
+        homography cannot express, so shape equivariance must hold under
+        locally-varying affines like on real (non-planar) PhotoTour scenes.
+      - ``blur_jitter``: per-view Gaussian blur with sigma ~ U(0, blur_
+        jitter) — cross-view defocus/scale mismatch (PhotoTour patches come
+        from different cameras/distances; our pyramid crops are one blur).
     """
     rng = np.random.RandomState(seed)
     half = patch_size
@@ -620,9 +635,29 @@ def synthetic_pairs_from_images(imgs, n_classes: int = 8192,
                     denom = np.where(np.abs(denom) < 0.25,
                                      np.sign(denom) * 0.25, denom)
                     src = src / denom
+                if mesh_warp > 0:
+                    # Smooth non-planar displacement: three random
+                    # low-frequency sinusoids per axis, pinned to zero at
+                    # the center pixel (pts == 0) so the class anchor stays
+                    # an exact correspondence.
+                    for axis in (0, 1):
+                        d = np.zeros_like(src[axis])
+                        for _ in range(3):
+                            f = rng.uniform(0.5, 1.5, 2) / patch_size
+                            ph = rng.uniform(0, 2 * np.pi)
+                            a_ = rng.uniform(0, mesh_warp / 3)
+                            arg = 2 * np.pi * (f[0] * pts[0]
+                                               + f[1] * pts[1]) + ph
+                            d += a_ * (np.sin(arg) - np.sin(ph))
+                        src[axis] = src[axis] + d
                 sx = src[0] + half
                 sy = src[1] + half
                 crop = _bilinear_crop(big, sx, sy)
+                if blur_jitter > 0:
+                    sig = rng.uniform(0, blur_jitter)
+                    if sig > 0.2:
+                        from scipy.ndimage import gaussian_filter
+                        crop = gaussian_filter(crop, sig, mode="nearest")
                 if len(imgs) > 1 and rng.rand() < occlude_prob:
                     # Depth-layered composite: elliptical foreground from a
                     # different image, with its own photometric state.

@@ -80,6 +80,18 @@ class DetectorConfig:
                                    # detection/selection: identical keypoint
                                    # sets, ~1 grey-level patch noise;
                                    # validated quality-neutral on graf)
+    desc_dtype: Optional[str] = None
+                                   # transport precision of the returned
+                                   # descriptors, e.g. "float16".  The axon
+                                   # tunnel fetches at ~53 MB/s with ~27 ms
+                                   # latency, so bulk extraction is
+                                   # FETCH-bound on f32 descriptors (1 MB /
+                                   # 2000 kps); f16 halves the payload for a
+                                   # measured max descriptor error of 6.1e-5
+                                   # (scripts/bench_fetch_bw.py) — 16x under
+                                   # the 1e-3 reference-parity gate.  LAF
+                                   # coordinates always stay f32 (f16 would
+                                   # cost ~0.5 px at x~2000).
 
     @property
     def threshold_mode(self) -> bool:
@@ -330,7 +342,7 @@ class ScaleSpaceAffinePatchExtractor:
                                 cfg.patch_size, cfg.align_corners)
         order = jnp.argsort(jnp.maximum(eu, ev))
         from .ops import patches as patches_mod
-        if patches_mod.DEDUP_WINDOWS:
+        if patches_mod.DEDUP_WINDOWS and "desc" in patches_mod.DEDUP_SITES:
             # Secondary sort for the shared-window DMA dedup: within each
             # STATIC desc bucket slice (membership — hence window class and
             # cost — is fixed by the extent order), reorder by quantized
@@ -352,7 +364,7 @@ class ScaleSpaceAffinePatchExtractor:
         perm = {k: cand[k][order] for k in
                 ("lafs", "resp", "valid", "orig_idx", "ext_level",
                  "oct_idx", "level_idx")}
-        return {**cand, **perm, "desc_level": lvl[order],
+        return {**cand, **perm, "desc_level": lvl[order], "order": total,
                 "restore": jnp.argsort(total).astype(jnp.int32)}
 
     def _describe(self, params, cand, plan: PyramidPlan, h: int, w: int):
@@ -417,6 +429,8 @@ class ScaleSpaceAffinePatchExtractor:
                 patches, descs, ovf = self._describe(params, cand, plan,
                                                      h, w)
                 out["patches"] = patches
+                if self.cfg.desc_dtype is not None:
+                    descs = descs.astype(jnp.dtype(self.cfg.desc_dtype))
                 out["descs"] = descs
                 out["n_overflow"] = out.get(
                     "n_overflow", jnp.zeros((), jnp.int32)) + ovf
@@ -453,13 +467,24 @@ class ScaleSpaceAffinePatchExtractor:
         n_detected = int(n_detected) if n_detected is not None else None
         if (n_detected is not None and self.cfg.threshold_mode
                 and n_detected > self.cfg.max_keypoints):
-            import warnings
-            warnings.warn(
-                f"threshold mode: {n_detected} NMS survivors exceed the "
-                f"static cap max_keypoints={self.cfg.max_keypoints}; the "
-                f"{n_detected - self.cfg.max_keypoints} weakest responses "
-                "were dropped (raise DetectorConfig.max_keypoints / "
-                "--max-keypoints to keep them all)")
+            # Keep-all semantics for real (reference: torch.nonzero keeps
+            # every NMS survivor, SparseImgRepresenter.py:77-111): raise the
+            # static cap to the next power-of-2 bucket and re-jit.  The
+            # survivor count depends only on (img, th), not the cap, so one
+            # retry always suffices; the raised cap sticks on the instance,
+            # amortizing the recompile over subsequent images.
+            new_cap = 1 << (n_detected - 1).bit_length()
+            self.cfg = dataclasses.replace(self.cfg, max_keypoints=new_cap)
+            self._jitted.clear()
+            fn, _plan = self.get_jitted(h, w, do_ori, describe)
+            out = fn(params or {}, img)
+            n_detected = int(out.pop("n_detected"))
+            if n_detected > self.cfg.max_keypoints:  # pragma: no cover
+                import warnings
+                warnings.warn(
+                    f"threshold mode: {n_detected} NMS survivors still "
+                    f"exceed the raised cap {self.cfg.max_keypoints}; the "
+                    "weakest responses were dropped")
         n_overflow = out.pop("n_overflow", None)
         if n_overflow is not None and int(n_overflow) > 0:
             import warnings

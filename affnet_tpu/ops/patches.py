@@ -257,6 +257,13 @@ USE_PALLAS = True
 # flag is a site-wide A/B switch (scripts/bench_dedup.py).
 DEDUP_WINDOWS = False
 
+# Sites the dedup applies to when DEDUP_WINDOWS is on.  "desc" is EXCLUDED
+# by default: the single-buffered 448x512 tail bucket's dedup chain-select
+# overflows the 16 MB scoped-vmem stack by 96 KB (measured r5, exactly the
+# ADVICE r4 prediction), and desc patches are extent-sorted — same-corner
+# multi-scale duplicates land in different buckets anyway.
+DEDUP_SITES = ("shape", "ori")
+
 
 def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
                             row_offsets: Array, heights: Array,
@@ -291,16 +298,17 @@ def extract_patches_pyramid(buf2d: Array, lafs: Array, level_idx: Array,
         from .pallas_patches import (extract_patches_bucketed,
                                      extract_patches_window_matmul)
         kw = {} if mxu_dtype is None else {"mxu_dtype": mxu_dtype}
+        dedup = DEDUP_WINDOWS and site in DEDUP_SITES
         if assume_extent_sorted and site == "desc":
             patches, ovf = extract_patches_bucketed(
                 buf2d, lafs, level_idx, row_offsets, heights, widths,
                 ps=ps, align_corners=align_corners, buckets=DESC_BUCKETS,
-                fallback_slots=slots, dedup_windows=DEDUP_WINDOWS, **kw)
+                fallback_slots=slots, dedup_windows=dedup, **kw)
         else:
             patches, ovf = extract_patches_window_matmul(
                 buf2d, lafs, level_idx, row_offsets, heights, widths,
                 ps=ps, align_corners=align_corners,
-                fallback_slots=slots, dedup_windows=DEDUP_WINDOWS,
+                fallback_slots=slots, dedup_windows=dedup,
                 return_miss_overflow=True, **PALLAS_SITES[site], **kw)
         if return_miss_overflow:
             return patches, ovf

@@ -6,16 +6,19 @@ through detect (top-k 2000) -> 1x AffNet shape iteration -> descriptor-patch
 extraction (PS=32) -> HardTFeat 128-D descriptor, end-to-end on device, with
 REAL shipped weights for both nets (no random-weight stand-ins).
 
-Throughput is measured PIPELINED OVER TWELVE DISTINCT 1080p images (graf
-img1..img6 + the reference's example images: fox1/fox2/cat/kpi1/kpi2 +
-imgs/graf16HesAff): all dispatches are issued before the device->host
-fetches, as a
-production extractor overlaps host round trips (~27 ms each through the axon
-tunnel) with device compute — and no image's work can be cached or elided
-because every input differs.  The JSON also reports the single-image
-blocking wall-clock (dispatch + device + fetch) as ``latency_ms`` and the
-in-jit device-only time per image as ``device_ms`` (a 20-iteration
-fori_loop, amortizing the tunnel round trip).
+The headline is the production BULK-extraction shape: TWELVE DISTINCT 1080p
+images (graf img1..6 + fox1/fox2/cat/kpi1/kpi2 + graf16HesAff — every input
+differs, nothing can be cached) in ONE dispatch (lax.map of the pipeline),
+repeated for three rounds with all device->host copies issued async.
+Descriptors travel as f16: the axon tunnel fetches at ~53 MB/s with ~27 ms
+latency, so extraction is FETCH-bound on f32 descriptors; f16 halves the
+payload at a measured max descriptor error of 6.1e-5 vs f32 — 16x under the
+1e-3 reference-parity gate (scripts/bench_fetch_bw.py; LAFs stay f32).
+
+Also reported: per-dispatch pipelined throughput (one image per dispatch,
+fetches overlapped), the single-image blocking wall-clock (``latency_ms``),
+and the in-jit device-only time per image (``device_ms``, a 20-iteration
+fori_loop amortizing the tunnel round trip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is the speedup over the CPU-PyTorch reference pipeline measured
@@ -58,28 +61,47 @@ def main():
 
     # fast=True: bf16 patch-gather matmuls + bf16 CNN conv inputs with f32
     # accumulation; detection/selection stay f32 so the keypoint set is
-    # identical.  Quality-validated on graf (see README).
+    # identical.  desc_dtype=float16 is transport-only (see module doc).
     cfg = DetectorConfig(num_features=NFEATS, border=5, mr_size=5.192,
-                         num_baum_iters=1, th=None, patch_size=32, fast=True)
+                         num_baum_iters=1, th=None, patch_size=32, fast=True,
+                         desc_dtype="float16")
     det = ScaleSpaceAffinePatchExtractor(cfg, shape_net=AffNetFast,
                                          desc_net=HardTFeatNet)
     params = {"aff": load_pretrained("AffNetFast"),
               "desc": load_pretrained("HardTFeatNet")}
     fn, _plan = det.get_jitted(H, W, do_ori=False, describe=True)
+    stack = jnp.stack(imgs)
+    n_disp = ROUNDS * len(imgs)
+
+    # --- headline: bulk extraction, 12 distinct images per dispatch ---
+    @jax.jit
+    def fn_batch(p, xs):
+        o = jax.lax.map(lambda x: fn(p, x), xs)
+        # Select the bulk-extraction outputs; the unused patch tensor is
+        # dead-code-eliminated out of the map body.
+        return {"descs": o["descs"], "lafs": o["lafs"]}
 
     # NB: through the axon tunnel block_until_ready can return before remote
     # execution finishes; a device->host fetch is the only honest fence.
+    ob = fn_batch(params, stack)
+    np.asarray(ob["descs"]); np.asarray(ob["lafs"])
+    t_batched = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        obs = [fn_batch(params, stack) for _ in range(ROUNDS)]
+        for o in obs:
+            o["descs"].copy_to_host_async()
+            o["lafs"].copy_to_host_async()
+        fetched_b = [(np.asarray(o["descs"]), np.asarray(o["lafs"]))
+                     for o in obs]
+        t_batched = min(t_batched, (time.perf_counter() - t0) / n_disp)
+
+    # --- per-dispatch pipelined path (one image per dispatch) ---
     for _ in range(WARMUP):
         out = fn(params, imgs[0])
         jax.device_get((out["descs"], out["lafs"]))
-
-    n_disp = ROUNDS * len(imgs)
     t0 = time.perf_counter()
     outs = [fn(params, imgs[i % len(imgs)]) for i in range(n_disp)]
-    # Start all device->host copies before consuming any: sequential
-    # device_get calls each pay the full ~27 ms tunnel round trip, which
-    # dominated the pipelined number once device compute dropped under
-    # 12 ms/image (a production extractor overlaps the fetches too).
     for o in outs:
         o["descs"].copy_to_host_async()
         o["lafs"].copy_to_host_async()
@@ -87,27 +109,6 @@ def main():
                for o in outs]
     t_per_dispatch = (time.perf_counter() - t0) / n_disp
 
-    # Batched variant: all twelve distinct images in ONE dispatch (lax.map of
-    # the same pipeline), so the ~27 ms tunnel round trips amortize over the
-    # batch — the per-dispatch path is RPC-bound, not device-bound (device
-    # compute is ~12-21 ms/image vs ~55 ms/image wall).  This is the
-    # production bulk-extraction shape: k images in, k LAF+desc sets out.
-    stack = jnp.stack(imgs)
-
-    @jax.jit
-    def fn_batch(p, xs):
-        return jax.lax.map(lambda x: fn(p, x), xs)
-
-    ob = fn_batch(params, stack)
-    jax.device_get((ob["descs"], ob["lafs"]))
-    t0 = time.perf_counter()
-    obs = [fn_batch(params, stack) for _ in range(ROUNDS)]
-    for o in obs:
-        o["descs"].copy_to_host_async()
-        o["lafs"].copy_to_host_async()
-    fetched_b = [(np.asarray(o["descs"]), np.asarray(o["lafs"]))
-                 for o in obs]
-    t_batched = (time.perf_counter() - t0) / n_disp
     t = min(t_per_dispatch, t_batched)
 
     lat = []
@@ -124,7 +125,8 @@ def main():
     def loop20(p, x):
         def it(i, acc):
             o = fn(p, x + 1e-6 * i)   # nested jit inlines into the loop
-            return acc + o["descs"].sum() + o["lafs"].sum()
+            return (acc + o["descs"].astype(jnp.float32).sum()
+                    + o["lafs"].sum())
         return jax.lax.fori_loop(0, 20, it, 0.0)
 
     np.asarray(loop20(params, imgs[0]))

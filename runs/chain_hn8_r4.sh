@@ -16,15 +16,26 @@ export PYTHONPATH=/root/repo:$PYTHONPATH
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
 echo "== AffNet vs from-scratch HardNet: 8 epochs ==" > $LOG
-for E0 in 0 4; do
+# Chunk boundaries derive from the last checkpoint on disk (a chunk killed
+# mid-run resumes where it left off), looping until epoch 7 exists or no
+# progress is made (ADVICE r4: a fixed two-iteration loop could silently
+# finish with fewer than 8 epochs).
+while [ ! -f "$CKDIR/checkpoint_7.npz" ]; do
   RESUME=""
+  LAST=""
   if [ -d "$CKDIR" ] && ls $CKDIR/checkpoint_*.npz >/dev/null 2>&1; then
-    RESUME="--resume $(ls $CKDIR/checkpoint_*.npz | sort -V | tail -1)"
+    LAST=$(ls $CKDIR/checkpoint_*.npz | sort -V | tail -1)
+    RESUME="--resume $LAST"
   fi
   timeout 3000 python -m affnet_tpu.cli.train_affnet --synthetic \
     --epochs 4 --total-epochs 8 --n-pairs 500000 --batch-size 1024 \
     --loss HardNegC --descriptor HardNet --desc-weights "$DESC_CK" \
     --lr 0.005 --conv-vjp explicit --log-dir /root/repo/runs \
     --expname r4_HN $RESUME >> $LOG 2>&1
+  NEW=$(ls $CKDIR/checkpoint_*.npz 2>/dev/null | sort -V | tail -1)
+  if [ "$NEW" == "$LAST" ]; then
+    echo "chain_hn8: no progress (last=$LAST), aborting" >> $LOG
+    exit 1
+  fi
 done
 echo "chain_hn8 done" >> $LOG

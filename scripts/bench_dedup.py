@@ -42,6 +42,14 @@ SITES = {
                 window_rows=96, window_cols=256, patches_per_step=16),
     "desc_b1": dict(n=1104, ps=32, ext=(8.0, 43.0),
                     window_rows=96, window_cols=256, patches_per_step=16),
+    # The single-buffered big-window desc tail (ops/patches.py DESC_BUCKETS
+    # [-1]) — ADVICE r4: the dedup chain-select keeps an extra (RW, CW)
+    # temporary live per unrolled q step, so this VMEM-tight config needs
+    # its own compile proof before enabling dedup site-wide (the full
+    # in-pipeline A/B in bench_dedup_pipeline.py also covers it).
+    "desc_big": dict(n=200, ps=32, ext=(60.0, 200.0),
+                     window_rows=448, window_cols=512, patches_per_step=8,
+                     n_buffers=1, chunk_samples=256),
 }
 
 H, W = 1080, 1920
@@ -112,6 +120,9 @@ def bench(site_name, site, order, cluster_frac, dedup):
               patches_per_step=site["patches_per_step"],
               mxu_dtype=jnp.bfloat16, fallback_slots=64,
               return_miss_overflow=True, dedup_windows=dedup)
+    for opt in ("n_buffers", "chunk_samples"):
+        if opt in site:
+            kw[opt] = site[opt]
 
     def run(b):
         p, ovf = extract_patches_window_matmul(b, lafs, lvl, offs, hs, ws,

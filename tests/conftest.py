@@ -49,6 +49,9 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: compiled-kernel smoke tests; need the real chip "
         "(deselected unless -m mentions tpu)")
+    config.addinivalue_line(
+        "markers", "slow: full-resolution goldens (run by default; "
+        "deselect with -m 'not slow' for a quick pass)")
 
 
 def pytest_collection_modifyitems(config, items):
