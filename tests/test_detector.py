@@ -253,3 +253,27 @@ class TestFullResolutionGolden:
         nn = d.min(axis=1)
         assert (nn < 1e-2).sum() >= len(g["lafs"]) - 2
         assert np.quantile(nn, 0.99) < 1e-3
+
+
+class TestDescTransportDtype:
+    def test_desc_dtype_f16_matches_f32(self, golden, aff_params):
+        """desc_dtype='float16' is transport-only: same keypoints, LAFs
+        bit-identical (always f32), descriptors within f16 quantization of
+        the f32 run (measured 6.1e-5 on the chip; the 1e-3 parity gate is
+        the budget).  This is the fetch-bound bulk-extraction mode
+        (DetectorConfig.desc_dtype doc)."""
+        kw = dict(num_features=50, border=5, mr_size=5.192,
+                  fused_detect=False, num_baum_iters=1, th=None,
+                  patch_size=32)
+        det32 = ScaleSpaceAffinePatchExtractor(
+            DetectorConfig(**kw), shape_net=AffNetFast,
+            desc_net=SIFTNet(patch_size=32))
+        det16 = ScaleSpaceAffinePatchExtractor(
+            DetectorConfig(desc_dtype="float16", **kw),
+            shape_net=AffNetFast, desc_net=SIFTNet(patch_size=32))
+        o32 = det32(golden["img"], params={"aff": aff_params}, describe=True)
+        o16 = det16(golden["img"], params={"aff": aff_params}, describe=True)
+        assert o16["descs"].dtype == np.float16
+        np.testing.assert_array_equal(o16["lafs"], o32["lafs"])
+        np.testing.assert_allclose(o16["descs"].astype(np.float32),
+                                   o32["descs"], atol=1e-3)
