@@ -45,6 +45,14 @@ def build_parser():
                    help="shard the batch over an N-device mesh")
     p.add_argument("--synthetic", action="store_true",
                    help="train on offline synthetic pairs (no dataset needed)")
+    p.add_argument("--gen-tilt", type=float, default=3.0,
+                   help="synthetic generator: max anisotropic view tilt")
+    p.add_argument("--gen-mesh", type=float, default=0.0,
+                   help="synthetic generator: non-planar mesh-warp "
+                        "amplitude in px (curved-surface parallax)")
+    p.add_argument("--gen-blur", type=float, default=0.0,
+                   help="synthetic generator: max per-view Gaussian blur "
+                        "sigma (cross-view defocus mismatch)")
     p.add_argument("--conv-vjp", choices=["xla", "explicit"], default="xla",
                    help="conv backward strategy: 'explicit' compiles the "
                         "train step far faster on the remote compile "
