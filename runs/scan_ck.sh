@@ -1,12 +1,12 @@
 #!/bin/bash
 # Scan every checkpoint of an AffNet run on one graf pair (default 1-4)
 # with the from-scratch HardNet descriptor + OriNet (the trio config) and
-# report the best.  Usage: bash runs/scan_ck.sh <ckdir> [pair] [log]
+# report the best.  Usage: bash runs/scan_ck.sh <ckdir> [pair] [log] [desc]
 set -x
 CKDIR=${1:?checkpoint dir}
 PAIR=${2:-4}
 LOG=${3:-/root/repo/runs/scan_$(basename $CKDIR).log}
-DESC=$(ls /root/repo/runs/r4_HardNet_desc_0.1_500000_HardNet/checkpoint_*.npz | sort -V | tail -1)
+DESC=${4:-$(ls /root/repo/runs/r4_HardNet_desc_0.1_500000_HardNet/checkpoint_*.npz | sort -V | tail -1)}
 ORI=/root/repo/runs/r3_OriNet_6Brown_TFeat_0.005_200000_HardNet/checkpoint_1.npz
 export PYTHONPATH=/root/repo:$PYTHONPATH
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
