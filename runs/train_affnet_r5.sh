@@ -5,14 +5,15 @@
 # UPGRADED generator (non-planar mesh warps + cross-view blur jitter +
 # optional higher data tilt), chunked every 4 epochs around the host-staging
 # leak, resumable.  Usage:
-#   bash runs/train_affnet_r5.sh <expname> <total_epochs> [gen flags...]
+#   [DESC=<ckpt.npz>] bash runs/train_affnet_r5.sh <expname> <total_epochs> [gen flags...]
 # e.g. bash runs/train_affnet_r5.sh r5_mesh 8 --gen-mesh 2.5 --gen-blur 1.2
+# DESC overrides the loss descriptor (default: last r4 from-scratch HardNet).
 set -x
 EXP=${1:?expname}
 TOTAL=${2:?total epochs}
 shift 2
 GENFLAGS="$@"
-DESC=$(ls /root/repo/runs/r4_HardNet_desc_0.1_500000_HardNet/checkpoint_*.npz | sort -V | tail -1)
+DESC=${DESC:-$(ls /root/repo/runs/r4_HardNet_desc_0.1_500000_HardNet/checkpoint_*.npz | sort -V | tail -1)}
 CKDIR=/root/repo/runs/${EXP}_AffNetFast_6Brown_HardNet_0.005_500000_HardNegC
 LOG=/root/repo/runs/${EXP}.log
 export PYTHONPATH=/root/repo:$PYTHONPATH
