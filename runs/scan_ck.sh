@@ -7,7 +7,7 @@ CKDIR=${1:?checkpoint dir}
 PAIR=${2:-4}
 LOG=${3:-/root/repo/runs/scan_$(basename $CKDIR).log}
 DESC=${4:-$(ls /root/repo/runs/r4_HardNet_desc_0.1_500000_HardNet/checkpoint_*.npz | sort -V | tail -1)}
-ORI=/root/repo/runs/r3_OriNet_6Brown_TFeat_0.005_200000_HardNet/checkpoint_1.npz
+ORI=${ORI:-/root/repo/runs/r3_OriNet_6Brown_TFeat_0.005_200000_HardNet/checkpoint_1.npz}
 export PYTHONPATH=/root/repo:$PYTHONPATH
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 > $LOG

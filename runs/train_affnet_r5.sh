@@ -24,12 +24,16 @@ echo "== $EXP: AffNet vs from-scratch HardNet, $TOTAL epochs, gen: $GENFLAGS =="
 while [ ! -f "$CKDIR/checkpoint_$LASTCK.npz" ]; do
   RESUME=""
   LAST=""
+  DONE=0
   if [ -d "$CKDIR" ] && ls $CKDIR/checkpoint_*.npz >/dev/null 2>&1; then
     LAST=$(ls $CKDIR/checkpoint_*.npz | sort -V | tail -1)
     RESUME="--resume $LAST"
+    DONE=$(($(basename $LAST .npz | sed 's/checkpoint_//') + 1))
   fi
+  REMAIN=$((TOTAL - DONE))
+  CHUNK=$((REMAIN < 4 ? REMAIN : 4))
   timeout 3000 python -m affnet_tpu.cli.train_affnet --synthetic \
-    --epochs 4 --total-epochs $TOTAL --n-pairs 500000 --batch-size 1024 \
+    --epochs $CHUNK --total-epochs $TOTAL --n-pairs 500000 --batch-size 1024 \
     --loss HardNegC --descriptor HardNet --desc-weights "$DESC" \
     --lr 0.005 --conv-vjp explicit --log-dir /root/repo/runs \
     --expname $EXP $GENFLAGS $RESUME >> $LOG 2>&1
