@@ -55,6 +55,12 @@ def build_parser():
     p.add_argument("--gen-blur", type=float, default=0.0,
                    help="synthetic generator: max per-view Gaussian blur "
                         "sigma (cross-view defocus mismatch)")
+    p.add_argument("--gen-classes", type=int, default=8192,
+                   help="synthetic generator: number of patch classes "
+                        "(distinct anchor locations across source images)")
+    p.add_argument("--gen-views", type=int, default=6,
+                   help="synthetic generator: views per class (more views "
+                        "= more distinct correspondences per anchor)")
     p.add_argument("--conv-vjp", choices=["xla", "explicit"], default="xla",
                    help="conv backward strategy: 'explicit' compiles the "
                         "train step far faster on the remote compile "
@@ -79,7 +85,9 @@ def make_dataset(args):
             # Multi-image, tilt-diverse, photometrically-jittered classes
             # from NON-test reference images (no graf leakage).
             patches, labels = D.synthetic_pairs_from_images(
-                imgs, n_classes=8192, views_per_class=6, seed=args.seed,
+                imgs, n_classes=getattr(args, "gen_classes", 8192),
+                views_per_class=getattr(args, "gen_views", 6),
+                seed=args.seed,
                 max_tilt=getattr(args, "gen_tilt", 3.0),
                 mesh_warp=getattr(args, "gen_mesh", 0.0),
                 blur_jitter=getattr(args, "gen_blur", 0.0))

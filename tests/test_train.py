@@ -327,6 +327,18 @@ class TestData:
         diff = np.abs(flat[1].astype(int) - warped[1].astype(int))
         assert diff.max() > 5
 
+    def test_gen_classes_views_cli_knobs(self):
+        """--gen-classes/--gen-views (round-5 anchor-diversity lever) reach
+        the generator through make_dataset: class count and views-per-class
+        drive the synthetic dataset size."""
+        from affnet_tpu.cli.train_affnet import build_parser, make_dataset
+        args = build_parser().parse_args(
+            ["--synthetic", "--n-pairs", "32", "--batch-size", "8",
+             "--gen-classes", "16", "--gen-views", "3", "--host-data"])
+        ds = make_dataset(args)
+        assert ds.patches.shape == (48, 64, 64)
+        assert (np.bincount(ds.labels) == 3).all()
+
     def test_phototour_sheet_reader(self, tmp_path):
         """Synthesize a tiny Brown-format dataset: one bmp sheet + info.txt."""
         from PIL import Image
